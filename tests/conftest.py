@@ -1,0 +1,16 @@
+"""Test configuration: force a virtual 8-device CPU mesh so sharding tests run anywhere.
+
+Mirrors the reference's (absent) hermetic test setup; see SURVEY.md §4 for why we add
+CPU-backend multi-device tests that the reference lacks.
+"""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
