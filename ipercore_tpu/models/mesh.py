@@ -85,19 +85,34 @@ class MeshAssets(NamedTuple):
 
 
 def load_obj(path: str) -> dict:
-    """Minimal OBJ reader: vertices + triangular faces (1-indexed)."""
-    verts, faces = [], []
+    """Minimal OBJ reader: vertices, UV coords (vt) and triangular faces.
+
+    The reference templates (`mapper_uv.txt`, `mapper_fim_enc.txt`) store the
+    SMPL template as `v` lines, the UV unwrap as `vt` lines, and faces in
+    `f v/vt v/vt v/vt` form (6890 v / 7576 vt / 13776 f).
+    """
+    verts, uvs, faces, uv_faces = [], [], [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 verts.append([float(t) for t in line.split()[1:4]])
+            elif line.startswith("vt "):
+                uvs.append([float(t) for t in line.split()[1:3]])
             elif line.startswith("f "):
-                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
-                for k in range(1, len(idx) - 1):  # fan-triangulate
-                    faces.append([idx[0], idx[k], idx[k + 1]])
+                toks = line.split()[1:]
+                vi = [int(t.split("/")[0]) - 1 for t in toks]
+                ti = [
+                    int(t.split("/")[1]) - 1 if ("/" in t and t.split("/")[1]) else -1
+                    for t in toks
+                ]
+                for k in range(1, len(vi) - 1):  # fan-triangulate
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    uv_faces.append([ti[0], ti[k], ti[k + 1]])
     return {
         "vertices": np.asarray(verts, np.float32),
+        "uvs": np.asarray(uvs, np.float32) if uvs else None,
         "faces": np.asarray(faces, np.int32),
+        "uv_faces": np.asarray(uv_faces, np.int32) if uvs else None,
     }
 
 
@@ -243,8 +258,12 @@ def load_assets(
 
     if uv_map_path and os.path.exists(uv_map_path):
         obj = load_obj(uv_map_path)
-        obj_faces = obj["faces"][:n_faces]
-        f2uvs = _faces_to_f2uvs(obj["vertices"], obj_faces)
+        if obj["uvs"] is not None:
+            obj_faces = obj["uv_faces"][:n_faces]
+            f2uvs = uv_to_ndc(obj["uvs"][obj_faces])
+        else:
+            obj_faces = obj["faces"][:n_faces]
+            f2uvs = _faces_to_f2uvs(obj["vertices"], obj_faces)
     else:
         uv_verts, obj_faces = synthetic_uv_atlas(n_faces)
         f2uvs = uv_to_ndc(uv_verts[obj_faces])

@@ -44,13 +44,15 @@ def test_real_reference_uv_template_loads_if_present():
     if path is None:
         return  # hermetic environments skip silently
     obj = mesh.load_obj(path)
-    assert obj["faces"].shape[1] == 3
-    assert obj["faces"].shape[0] >= 13776
-    f2uvs = obj["vertices"][obj["faces"][:13776], :2]
-    # the real template keeps a few helper verts outside the unit square;
-    # the bulk must be in [0, 1]
-    frac_in = ((f2uvs >= -0.01) & (f2uvs <= 1.01)).mean()
-    assert frac_in > 0.95
+    assert obj["faces"].shape == (13776, 3)
+    assert obj["uvs"] is not None and obj["uvs"].shape == (7576, 2)
+    uvs = obj["uvs"][obj["uv_faces"]]
+    assert uvs.min() >= -0.01 and uvs.max() <= 1.01
+    m = smpl.synthetic_model()
+    assets = mesh.load_assets(m)  # picks up the real template
+    assert assets.f2uvs.shape == (13776, 3, 2)
+    f2 = np.asarray(assets.f2uvs)
+    assert f2.min() >= -1.01 and f2.max() <= 1.01
 
 
 def test_build_map_fn_background_row():
