@@ -266,8 +266,10 @@ def lbs(
     """
     J = model.n_joints
     if pose.shape[-1] < J * 3:
-        pad = jnp.broadcast_to(model.hands_mean, (J * 3 - pose.shape[-1],))
-        pose = jnp.concatenate([pose, pad], axis=-1)
+        # 72-dim SMPL pose -> SMPL-H: keep global + 21 body joints (66 dims),
+        # drop SMPL's two coarse hand joints, append the mean hand pose
+        # (90 dims for J=52) — `batch_smplh.py:280-301`.
+        pose = jnp.concatenate([pose[..., :66], model.hands_mean], axis=-1)
 
     v_shaped = model.v_template + jnp.einsum("vds,s->vd", model.shapedirs, shape)
     joints = model.j_regressor @ v_shaped  # (J, 3)
@@ -350,4 +352,4 @@ def pad_theta_with_hands(theta: jnp.ndarray, model: SMPLModel) -> jnp.ndarray:
     n = theta.shape[0]
     cam, pose, shape = theta[:, :3], theta[:, 3:75], theta[:, 75:]
     hands = jnp.broadcast_to(model.hands_mean, (n, model.hands_mean.shape[0]))
-    return jnp.concatenate([cam, pose, hands, shape], axis=1)
+    return jnp.concatenate([cam, pose[:, :66], hands, shape], axis=1)
