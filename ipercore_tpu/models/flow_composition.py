@@ -1,0 +1,463 @@
+"""Flow composition: SMPL geometry -> generator inputs (UV merge, flows, conds).
+
+TPU-native rebuild of `iPERCore/models/flowcomposition.py` (`FlowComposition:21`
+and `FlowCompositionForSwapper:747`). The reference is a stateful nn.Module with
+python loops over batch; here it is a pure function library over a static
+`FlowComposer` context (body model + mesh assets + pre-rasterized UV template),
+fully jittable and frame-batchable.
+
+Key translations:
+  * per-batch python loops in `cal_bc_transform`/`get_vis_f2pts`/`make_morph_image`
+    -> vectorized gathers, static boolean face masks, and an iterative
+    masked-dilation boundary fill (replacing the top-k nearest-boundary-pixel
+    RGB fill of `flowcomposition.py:268-386` with an equivalent-purpose,
+    static-shape morphological inpaint).
+  * the UV template raster (`make_uv_setup`, `flowcomposition.py:78-85`) is
+    computed once per composer and reused for every batch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ipercore_tpu.models import smpl as smpl_mod
+from ipercore_tpu.models.mesh import MeshAssets, load_assets
+from ipercore_tpu.ops import rasterizer as rz
+from ipercore_tpu.ops.morphology import dilate, erode
+from ipercore_tpu.ops.sampling import grid_sample
+
+
+class FlowComposer(NamedTuple):
+    """Static context for flow composition.
+
+    model: SMPL body model; assets: mesh/UV tables;
+    uv_fim/uv_wim: (S, S) / (S, S, 3) raster of the UV template;
+    image_size: S; bg_ks/conf_erode_ks/out_dilate_ks: morphology kernels
+    (`deploy.toml:10-41`); only_vis: restrict flows to visible faces.
+    """
+
+    model: smpl_mod.SMPLModel
+    assets: MeshAssets
+    uv_fim: jnp.ndarray
+    uv_wim: jnp.ndarray
+    image_size: int
+    bg_ks: int
+    conf_erode_ks: int
+    out_dilate_ks: int
+    only_vis: bool
+
+
+def make_composer(
+    model: smpl_mod.SMPLModel,
+    assets: Optional[MeshAssets] = None,
+    image_size: int = 256,
+    bg_ks: int = 11,
+    conf_erode_ks: int = 3,
+    out_dilate_ks: int = 51,
+    only_vis: bool = False,
+    raster_chunk: int = 2048,
+) -> FlowComposer:
+    """Build the static composer context (rasterizes the UV template once —
+    reference `make_uv_setup`, `flowcomposition.py:78-85`)."""
+    if assets is None:
+        assets = load_assets(model)
+    uv = rz.rasterize_uv_template(assets.f2uvs, image_size, chunk=raster_chunk)
+    return FlowComposer(
+        model=model,
+        assets=assets,
+        uv_fim=uv.fim,
+        uv_wim=uv.wim,
+        image_size=image_size,
+        bg_ks=bg_ks,
+        conf_erode_ks=conf_erode_ks,
+        out_dilate_ks=out_dilate_ks,
+        only_vis=only_vis,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMPL info rendering
+# ---------------------------------------------------------------------------
+
+
+def render_smpl_info(
+    comp: FlowComposer,
+    verts: jnp.ndarray,
+    cam: jnp.ndarray,
+    masks: Optional[jnp.ndarray] = None,
+    use_morph: bool = False,
+    get_uv_info: bool = True,
+    raster_chunk: int = 2048,
+) -> dict:
+    """Render per-frame geometry products — `add_rendered_f2verts_fim_wim`
+    (`flowcomposition.py:139-204`).
+
+    Args:
+        verts: (N, V, 3); cam: (N, 3); masks: optional (N, S, S, 1) with
+            *background=1, human=0* (reference convention).
+
+    Returns dict:
+        f2pts (N, F, 3, 2), fim (N, S, S), wim (N, S, S, 3),
+        cond (N, S, S, 3), vis_mask (N, F) bool, only_vis_f2pts (N, F, 3, 2);
+        when get_uv_info: obj_f2pts = f2pts (faces share topology; the UV
+        direction uses comp.uv_fim instead of a second raster — see
+        `load_assets` docstring), and uv-direction visibility products;
+        when use_morph: confidant_sil / outpad_sil (N, S, S, 1).
+    """
+    S = comp.image_size
+    f2pts, fim, wim = rz.render_fim_wim(verts, cam, comp.model.faces, S, chunk=raster_chunk)
+    cond = rz.encode_fim(fim, comp.assets.map_fn)  # (N, S, S, 3)
+
+    vis = rz.visible_face_mask(fim, comp.model.faces.shape[0])
+    vis = rz.expand_mask_by_knn(vis, comp.assets.face_k_nearest)
+    only_vis_f2pts = rz.select_f2pts(f2pts, vis)
+
+    info = {
+        "f2pts": f2pts,
+        "fim": fim,
+        "wim": wim,
+        "cond": cond,
+        "vis_mask": vis,
+        "only_vis_f2pts": only_vis_f2pts,
+    }
+
+    # Body silhouette from the condition map: background color is black, so any
+    # non-zero channel = body (reference uses 1 - cond[:, -1:], with its
+    # background-channel encoding; ours derives the same binary silhouette).
+    body_sil = (jnp.max(cond, axis=-1, keepdims=True) > 1e-6).astype(cond.dtype)
+
+    if use_morph:
+        human_sil = (1.0 - masks) if masks is not None else body_sil
+        info["human_sil"] = human_sil
+        info["confidant_sil"] = erode(human_sil, comp.conf_erode_ks)
+        union = jnp.clip(human_sil + body_sil, 0.0, 1.0)
+        info["outpad_sil"] = dilate(union, comp.out_dilate_ks)
+
+    if get_uv_info:
+        # Same faces, same visibility — the UV direction reuses f2pts with the
+        # UV-space raster (comp.uv_fim/uv_wim) as destination.
+        info["obj_f2pts"] = f2pts
+        info["only_vis_obj_f2pts"] = only_vis_f2pts
+
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Morph fill (uncertain silhouette ring -> nearby confident RGB)
+# ---------------------------------------------------------------------------
+
+
+def boundary_fill(
+    img: jnp.ndarray,
+    known: jnp.ndarray,
+    target: jnp.ndarray,
+    iters: int = 16,
+) -> jnp.ndarray:
+    """Fill `target` pixels by iteratively diffusing RGB from `known` pixels.
+
+    Static-shape replacement for the reference's top-k nearest-boundary fill
+    (`make_morph_image`, `flowcomposition.py:296-386`): each iteration fills
+    unknown target pixels with the 3x3 average of already-known neighbours.
+
+    Args:
+        img: (N, S, S, 3); known: (N, S, S, 1) 1=trusted pixel;
+        target: (N, S, S, 1) 1=pixel to (re)fill.
+
+    Returns:
+        (N, S, S, 3): trusted pixels kept, target ring filled, rest zeroed.
+    """
+    out = img * known
+
+    def step(_, state):
+        cur, kn = state
+        window_sum = jax.lax.reduce_window(
+            cur * kn, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+        count = jax.lax.reduce_window(
+            kn, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+        fill = window_sum / jnp.maximum(count, 1.0)
+        newly = (count > 0).astype(kn.dtype) * target * (1.0 - kn)
+        cur = cur * kn + fill * newly + cur * (1.0 - kn) * (1.0 - newly)
+        kn = jnp.clip(kn + newly, 0.0, 1.0)
+        return cur, kn
+
+    out, _ = jax.lax.fori_loop(0, iters, step, (out, known))
+    return out
+
+
+def make_morph_image(comp: FlowComposer, src_img: jnp.ndarray, src_info: dict) -> jnp.ndarray:
+    """Confident-silhouette image with the uncertain ring filled —
+    `make_morph_image` (`flowcomposition.py:335-386`).
+
+    Args: src_img (N, S, S, 3) in [-1, 1]."""
+    confidant = src_info["confidant_sil"]
+    outpad = src_info["outpad_sil"]
+    uncertain = jnp.clip(outpad * (1.0 - confidant), 0.0, 1.0)
+    return boundary_fill(src_img, confidant, uncertain)
+
+
+# ---------------------------------------------------------------------------
+# UV merge
+# ---------------------------------------------------------------------------
+
+
+def make_uv_img(comp: FlowComposer, src_img: jnp.ndarray, src_info: dict) -> jnp.ndarray:
+    """Merge source views into one UV-space texture image —
+    `make_uv_img` (`flowcomposition.py:87-137`).
+
+    Args:
+        src_img: (bs, ns, S, S, 3) morphed source images.
+        src_info: rendered info with obj_f2pts / only_vis_obj_f2pts flattened
+            over (bs * ns).
+
+    Returns:
+        (bs, S, S, 3) merged UV image: the primary (first) source wins where it
+        is visible; other views fill its invisible regions (visibility-count
+        normalized), dilated visibility ks=13 as the reference.
+    """
+    bs, ns, S = src_img.shape[0], src_img.shape[1], comp.image_size
+    n = bs * ns
+    uv_fim = jnp.broadcast_to(comp.uv_fim, (n, S, S))
+    uv_wim = jnp.broadcast_to(comp.uv_wim, (n, S, S, 3))
+
+    Ts2uv = rz.cal_bc_transform(src_info["obj_f2pts"], uv_fim, uv_wim)
+    vis_Ts2uv = rz.cal_bc_transform(src_info["only_vis_obj_f2pts"], uv_fim, uv_wim)
+
+    flat_img = src_img.reshape(n, S, S, 3)
+    warp_uv = grid_sample(flat_img, Ts2uv).reshape(bs, ns, S, S, 3)
+    one_map = jnp.ones((n, S, S, 1), src_img.dtype)
+    vis_uv = grid_sample(one_map, vis_Ts2uv)
+    vis_uv = dilate(vis_uv, 13).reshape(bs, ns, S, S, 1)
+
+    vis_sum = jnp.sum(vis_uv[:, 1:], axis=1)  # (bs, S, S, 1)
+    others = jnp.sum(warp_uv[:, 1:] * vis_uv[:, 1:], axis=1) / (vis_sum + 1e-5)
+    vis_front = vis_uv[:, 0]
+    vis_other = (vis_sum >= 1.0).astype(src_img.dtype)
+    front_invisible = (1.0 - vis_front) * vis_other
+    return warp_uv[:, 0] * (1.0 - front_invisible) + others * front_invisible
+
+
+# ---------------------------------------------------------------------------
+# Generator inputs
+# ---------------------------------------------------------------------------
+
+
+def make_bg_inputs(comp: FlowComposer, src_img: jnp.ndarray, src_info: dict,
+                   masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(N, S, S, 4) masked RGB + eroded bg mask — `make_bg_inputs`
+    (`flowcomposition.py:250-261`). masks: (N, S, S, 1) background=1."""
+    if masks is None:
+        cond = src_info["cond"]
+        masks = (jnp.max(cond, axis=-1, keepdims=True) <= 1e-6).astype(src_img.dtype)
+    bg_mask = erode(masks, comp.bg_ks)
+    return jnp.concatenate([src_img * bg_mask, bg_mask], axis=-1)
+
+
+def make_src_inputs(src_img: jnp.ndarray, src_info: dict) -> jnp.ndarray:
+    """(N, S, S, 6) morphed RGB + condition — `flowcomposition.py:263-266`."""
+    return jnp.concatenate([src_img, src_info["cond"]], axis=-1)
+
+
+def make_tsf_inputs(comp: FlowComposer, uv_img: jnp.ndarray, ref_info: dict) -> jnp.ndarray:
+    """(bs, nt, S, S, 6) UV-warped synthetic image + target condition —
+    `make_tsf_inputs` (`flowcomposition.py:206-248`).
+
+    Args:
+        uv_img: (bs, S, S, 3); ref_info rendered over (bs * nt) frames.
+    """
+    S = comp.image_size
+    bsnt = ref_info["fim"].shape[0]
+    bs = uv_img.shape[0]
+    nt = bsnt // bs
+    f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (bsnt,) + comp.assets.f2uvs.shape)
+    Tuv2t = rz.cal_bc_transform(f2uvs, ref_info["fim"], ref_info["wim"])
+    uv_rep = jnp.repeat(uv_img, nt, axis=0)
+    syn = grid_sample(uv_rep, Tuv2t)  # (bs*nt, S, S, 3)
+    tsf = jnp.concatenate([syn, ref_info["cond"]], axis=-1)
+    return tsf.reshape(bs, nt, S, S, 6)
+
+
+def _pick_src_f2pts(comp: FlowComposer, src_info: dict, use_selected: bool = False):
+    if use_selected and "selected_f2pts" in src_info:
+        return src_info["selected_f2pts"]
+    return src_info["only_vis_f2pts"] if comp.only_vis else src_info["f2pts"]
+
+
+def make_trans_flow(
+    comp: FlowComposer,
+    src_info: dict,
+    ref_info: dict,
+    bs: int,
+    ns: int,
+    temp_info: Optional[dict] = None,
+    use_selected: bool = False,
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Inference-time flows: Tst (bs, ns, S, S, 2) and optional Ttt —
+    `make_trans_flow` (`flowcomposition.py:514-582`). ref_info covers bs frames.
+    """
+    S = comp.image_size
+    src_f2pts = _pick_src_f2pts(comp, src_info, use_selected)  # (bs*ns, F, 3, 2)
+    ref_fim = jnp.repeat(ref_info["fim"], ns, axis=0)
+    ref_wim = jnp.repeat(ref_info["wim"], ns, axis=0)
+    Tst = rz.cal_bc_transform(src_f2pts, ref_fim, ref_wim).reshape(bs, ns, S, S, 2)
+
+    Ttt = None
+    if temp_info is not None:
+        nt = temp_info["f2pts"].shape[0] // bs
+        t_fim = jnp.repeat(ref_info["fim"], nt, axis=0)
+        t_wim = jnp.repeat(ref_info["wim"], nt, axis=0)
+        Ttt = rz.cal_bc_transform(temp_info["f2pts"], t_fim, t_wim).reshape(bs, nt, S, S, 2)
+    return Tst, Ttt
+
+
+def make_batch_trans_flow(
+    comp: FlowComposer,
+    src_info: dict,
+    ref_info: dict,
+    bs: int,
+    ns: int,
+    nt: int,
+    temporal: bool = False,
+    use_selected: bool = False,
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Training-time flows: Tst (bs, nt, ns, S, S, 2), Ttt (bs, nt-1, S, S, 2) —
+    `make_batch_trans_flow` (`flowcomposition.py:584-662`)."""
+    S = comp.image_size
+    F = comp.model.faces.shape[0]
+    src_f2pts = _pick_src_f2pts(comp, src_info, use_selected).reshape(bs, ns, F, 3, 2)
+    src_rep = jnp.broadcast_to(src_f2pts[:, None], (bs, nt, ns, F, 3, 2)).reshape(-1, F, 3, 2)
+    ref_fim = ref_info["fim"].reshape(bs, nt, S, S)
+    ref_wim = ref_info["wim"].reshape(bs, nt, S, S, 3)
+    fim_rep = jnp.broadcast_to(ref_fim[:, :, None], (bs, nt, ns, S, S)).reshape(-1, S, S)
+    wim_rep = jnp.broadcast_to(ref_wim[:, :, None], (bs, nt, ns, S, S, 3)).reshape(-1, S, S, 3)
+    Tst = rz.cal_bc_transform(src_rep, fim_rep, wim_rep).reshape(bs, nt, ns, S, S, 2)
+
+    Ttt = None
+    if temporal and nt > 1:
+        ref_f2pts = (ref_info["only_vis_f2pts"] if comp.only_vis else ref_info["f2pts"])
+        prev = ref_f2pts.reshape(bs, nt, F, 3, 2)[:, :-1].reshape(-1, F, 3, 2)
+        nxt_fim = ref_fim[:, 1:].reshape(-1, S, S)
+        nxt_wim = ref_wim[:, 1:].reshape(-1, S, S, 3)
+        Ttt = rz.cal_bc_transform(prev, nxt_fim, nxt_wim).reshape(bs, nt - 1, S, S, 2)
+    return Tst, Ttt
+
+
+# ---------------------------------------------------------------------------
+# Source processing + full training forward
+# ---------------------------------------------------------------------------
+
+
+def process_source(
+    comp: FlowComposer,
+    src_img: jnp.ndarray,
+    src_info: dict,
+    primary_ids: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Source-side inputs — `process_source` (`flowcomposition.py:452-512`).
+
+    Args:
+        src_img: (bs, ns, S, S, 3).
+
+    Returns:
+        uv_img (bs, S, S, 3), input_G_bg (bs, 1, S, S, 4),
+        input_G_src (bs, ns, S, S, 6).
+    """
+    bs, ns, S = src_img.shape[0], src_img.shape[1], comp.image_size
+    flat = src_img.reshape(bs * ns, S, S, 3)
+    morph_img = make_morph_image(comp, flat, src_info)
+    uv_img = make_uv_img(comp, morph_img.reshape(bs, ns, S, S, 3), src_info)
+    input_G_src = make_src_inputs(morph_img, src_info).reshape(bs, ns, S, S, 6)
+    masks = src_info.get("masks")
+    input_G_bg = make_bg_inputs(comp, flat, src_info, masks).reshape(bs, ns, S, S, 4)
+    input_G_bg = input_G_bg[:, primary_ids:primary_ids + 1]
+    return uv_img, input_G_bg, input_G_src
+
+
+def forward(
+    comp: FlowComposer,
+    src_img: jnp.ndarray,
+    ref_img: jnp.ndarray,
+    src_smpl: jnp.ndarray,
+    ref_smpl: jnp.ndarray,
+    src_mask: Optional[jnp.ndarray] = None,
+    ref_mask: Optional[jnp.ndarray] = None,
+    links_ids: Optional[jnp.ndarray] = None,
+    offsets: jnp.ndarray | float = 0.0,
+    temporal: bool = False,
+) -> dict:
+    """Full training-phase composition — `FlowComposition.forward`
+    (`flowcomposition.py:664-744`).
+
+    Args:
+        src_img: (bs, ns, S, S, 3); ref_img: (bs, nt, S, S, 3);
+        src_smpl: (bs, ns, 85); ref_smpl: (bs, nt, 85);
+        src_mask/ref_mask: (bs, n, S, S, 1), background=1.
+
+    Returns dict with input_G_bg/src/tsf, Tst, Ttt, uv_img, src_info, ref_info.
+    """
+    bs, ns = src_img.shape[0], src_img.shape[1]
+    nt = ref_img.shape[1]
+    S = comp.image_size
+
+    src_details = smpl_mod.get_details(
+        comp.model, src_smpl.reshape(bs * ns, -1), offsets, links_ids)
+    ref_details = smpl_mod.get_details(
+        comp.model, ref_smpl.reshape(bs * nt, -1), offsets, links_ids)
+
+    src_masks_flat = src_mask.reshape(bs * ns, S, S, 1) if src_mask is not None else None
+    src_info = render_smpl_info(
+        comp, src_details["verts"], src_details["cam"], masks=src_masks_flat,
+        use_morph=True, get_uv_info=True)
+    src_info.update({k: src_details[k] for k in ("cam", "verts", "j2d")})
+    if src_masks_flat is not None:
+        src_info["masks"] = src_masks_flat
+
+    ref_info = render_smpl_info(
+        comp, ref_details["verts"], ref_details["cam"], use_morph=False, get_uv_info=False)
+    ref_info.update({k: ref_details[k] for k in ("cam", "verts", "j2d")})
+    if ref_mask is not None:
+        ref_info["masks"] = ref_mask.reshape(bs * nt, S, S, 1)
+
+    uv_img, input_G_bg, input_G_src = process_source(comp, src_img, src_info)
+    input_G_tsf = make_tsf_inputs(comp, uv_img, ref_info)
+    Tst, Ttt = make_batch_trans_flow(comp, src_info, ref_info, bs, ns, nt, temporal=temporal)
+
+    return {
+        "input_G_bg": input_G_bg,
+        "input_G_src": input_G_src,
+        "input_G_tsf": input_G_tsf,
+        "Tst": Tst,
+        "Ttt": Ttt,
+        "uv_img": uv_img,
+        "src_info": src_info,
+        "ref_info": ref_info,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Swapper extensions (`FlowCompositionForSwapper:747`)
+# ---------------------------------------------------------------------------
+
+
+def add_selected_f2pts(src_info: dict, part_mask: jnp.ndarray) -> dict:
+    """Restrict a source's flows to a face subset — `add_rendered_selected_f2pts`
+    (`flowcomposition.py:794-814`). part_mask: (F,) or (N, F) bool."""
+    f2pts = src_info["f2pts"]
+    if part_mask.ndim == 1:
+        part_mask = jnp.broadcast_to(part_mask, (f2pts.shape[0],) + part_mask.shape)
+    src_info["selected_f2pts"] = rz.select_f2pts(f2pts, part_mask)
+    return src_info
+
+
+def merge_uv_img(uv_imgs: jnp.ndarray, vis_maps: jnp.ndarray) -> jnp.ndarray:
+    """Visibility-normalized UV merge across persons — `merge_uv_img`
+    (`flowcomposition.py:816-854`).
+
+    Args: uv_imgs (P, S, S, 3); vis_maps (P, S, S, 1)."""
+    num = jnp.sum(uv_imgs * vis_maps, axis=0)
+    den = jnp.sum(vis_maps, axis=0)
+    return num / jnp.maximum(den, 1e-5)
