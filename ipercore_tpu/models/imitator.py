@@ -1,0 +1,331 @@
+"""Inference runners: Imitator / Viewer / Swapper as functional pipelines.
+
+TPU-native rebuild of `iPERCore/models/imitator.py` (Imitator:130, Viewer:404,
+Swapper:468) and `base_model.py:8-95`. The reference holds mutable module state
+and loops frames in python (`imitator.py:341`); here:
+
+  * `setup_source()` produces an immutable `SourceCache` (encoded SIDNet
+    features, merged UV image, background) — computed once per subject;
+  * `synthesize_frames()` is a pure jitted function mapping a *batch* of target
+    SMPLs to frames, so the frame axis is MXU-batched and can be sharded
+    across chips (`ipercore_tpu/parallel/inference.py`);
+  * temporal mode threads a FIFO of previous predictions through `lax.scan`
+    (replacing `TemporalFIFO`, `imitator.py:18-127`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ipercore_tpu.models import smpl as smpl_mod
+from ipercore_tpu.models import flow_composition as fc
+from ipercore_tpu.ops import rasterizer as rz
+
+
+class SourceCache(NamedTuple):
+    """Everything the per-frame loop needs about the source subject.
+
+    src_enc_outs / src_res_outs: tuples of (1, ns, h_i, w_i, c_i) SIDNet stages;
+    uv_img: (1, S, S, 3); bg_img: (1, S, S, 3);
+    src_f2pts: (1*ns, F, 3, 2) flow sources (vis-filtered per config);
+    src_info: rendered source geometry (kept for swapper part re-selection).
+    """
+
+    src_enc_outs: tuple
+    src_res_outs: tuple
+    uv_img: jnp.ndarray
+    bg_img: jnp.ndarray
+    src_f2pts: jnp.ndarray
+    src_cam: jnp.ndarray
+
+
+def setup_source(
+    comp: fc.FlowComposer,
+    generator,
+    params,
+    src_img: jnp.ndarray,
+    src_smpl: jnp.ndarray,
+    masks: Optional[jnp.ndarray] = None,
+    bg_img: Optional[jnp.ndarray] = None,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+    part_mask: Optional[jnp.ndarray] = None,
+) -> SourceCache:
+    """One-time source processing — `Imitator.source_setup` (`imitator.py:178-328`).
+
+    Args:
+        src_img: (1, ns, S, S, 3) in [-1, 1]; src_smpl: (1, ns, 85);
+        masks: optional (1, ns, S, S, 1), background=1;
+        bg_img: optional provided background (1, S, S, 3); otherwise BGNet
+            inpaints it;
+        part_mask: optional (F,) bool to restrict flows (swapper).
+    """
+    bs, ns = src_img.shape[0], src_img.shape[1]
+    S = comp.image_size
+
+    details = smpl_mod.get_details(comp.model, src_smpl.reshape(bs * ns, -1), offsets, links_ids)
+    m_flat = masks.reshape(bs * ns, S, S, 1) if masks is not None else None
+    src_info = fc.render_smpl_info(
+        comp, details["verts"], details["cam"], masks=m_flat, use_morph=True, get_uv_info=True)
+    if m_flat is not None:
+        src_info["masks"] = m_flat
+
+    uv_img, input_G_bg, input_G_src = fc.process_source(comp, src_img, src_info)
+
+    if bg_img is None:
+        bg = generator.apply(params, input_G_bg, method=generator.forward_bg)[:, 0]
+    else:
+        bg = bg_img
+
+    enc_outs, res_outs = generator.apply(
+        params, input_G_src, True, method=generator.forward_src)
+
+    if part_mask is not None:
+        src_info = fc.add_selected_f2pts(src_info, part_mask)
+        f2pts = src_info["selected_f2pts"]
+    else:
+        f2pts = src_info["only_vis_f2pts"] if comp.only_vis else src_info["f2pts"]
+
+    return SourceCache(
+        src_enc_outs=tuple(enc_outs),
+        src_res_outs=tuple(res_outs),
+        uv_img=uv_img,
+        bg_img=bg,
+        src_f2pts=f2pts,
+        src_cam=details["cam"],
+    )
+
+
+def make_frame_inputs(
+    comp: fc.FlowComposer,
+    cache: SourceCache,
+    tgt_smpl: jnp.ndarray,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Per-frame-batch geometry — `make_inputs_for_tsf` (`imitator.py:259-327`).
+
+    Args:
+        tgt_smpl: (T, 85) target SMPL batch.
+
+    Returns:
+        tsf_inputs (T, S, S, 6), Tst (T, ns, S, S, 2), ref_info.
+    """
+    T = tgt_smpl.shape[0]
+    ns = cache.src_f2pts.shape[0]
+    S = comp.image_size
+
+    details = smpl_mod.get_details(comp.model, tgt_smpl, offsets, links_ids)
+    ref_info = fc.render_smpl_info(
+        comp, details["verts"], details["cam"], use_morph=False, get_uv_info=False)
+
+    # Tuv2t warp of the UV image + target condition.
+    f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (T,) + comp.assets.f2uvs.shape)
+    Tuv2t = rz.cal_bc_transform(f2uvs, ref_info["fim"], ref_info["wim"])
+    uv_rep = jnp.broadcast_to(cache.uv_img, (T,) + cache.uv_img.shape[1:])
+    from ipercore_tpu.ops.sampling import grid_sample
+
+    syn = grid_sample(uv_rep, Tuv2t)
+    tsf_inputs = jnp.concatenate([syn, ref_info["cond"]], axis=-1)  # (T, S, S, 6)
+
+    # Tst: every (source, frame) pair.
+    src_rep = jnp.broadcast_to(
+        cache.src_f2pts[None], (T,) + cache.src_f2pts.shape).reshape(T * ns, -1, 3, 2)
+    fim_rep = jnp.repeat(ref_info["fim"], ns, axis=0)
+    wim_rep = jnp.repeat(ref_info["wim"], ns, axis=0)
+    Tst = rz.cal_bc_transform(src_rep, fim_rep, wim_rep).reshape(T, ns, S, S, 2)
+
+    return tsf_inputs, Tst, ref_info
+
+
+def synthesize_frames(
+    comp: fc.FlowComposer,
+    generator,
+    params,
+    cache: SourceCache,
+    tgt_smpl: jnp.ndarray,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Synthesize a batch of frames — the hot path (`Imitator.inference:328` +
+    `forward:384`, frame-batched instead of frame-serial).
+
+    Args:
+        tgt_smpl: (T, 85).
+
+    Returns:
+        preds (T, S, S, 3) composited frames in [-1, 1];
+        masks (T, S, S, 1) predicted attention masks (1 = background).
+    """
+    T = tgt_smpl.shape[0]
+    tsf_inputs, Tst, _ = make_frame_inputs(comp, cache, tgt_smpl, offsets, links_ids)
+
+    # Broadcast the cached per-source features over the frame axis.
+    def rep(x):  # (1, ns, ...) -> (T, ns, ...)
+        return jnp.broadcast_to(x, (T,) + x.shape[1:])
+
+    enc = [rep(e) for e in cache.src_enc_outs]
+    res = [rep(r) for r in cache.src_res_outs]
+
+    tsf_img, tsf_mask = generator.apply(
+        params, tsf_inputs, enc, res, Tst, method=generator.forward_tsf)
+
+    bg = jnp.broadcast_to(cache.bg_img, (T,) + cache.bg_img.shape[1:])
+    pred = tsf_mask * bg + (1.0 - tsf_mask) * tsf_img  # `imitator.py:393`
+    return pred, tsf_mask
+
+
+def synthesize_frames_temporal(
+    comp: fc.FlowComposer,
+    generator,
+    params,
+    cache: SourceCache,
+    tgt_smpl: jnp.ndarray,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporal-mode synthesis: frames scanned serially with the previous
+    prediction fed back (replaces `TemporalFIFO` + `post_update`,
+    `imitator.py:18-127,397`).
+
+    Args:
+        tgt_smpl: (T, 85).
+    """
+    tsf_inputs, Tst, ref_info = make_frame_inputs(comp, cache, tgt_smpl, offsets, links_ids)
+    T = tgt_smpl.shape[0]
+    S = comp.image_size
+    ns = cache.src_f2pts.shape[0]
+    F = comp.model.faces.shape[0]
+
+    # Ttt between consecutive frames: prev frame's f2pts -> current fim/wim.
+    f2pts_seq = ref_info["f2pts"]  # (T, F, 3, 2)
+    prev_f2pts = jnp.concatenate([f2pts_seq[:1], f2pts_seq[:-1]], axis=0)
+    Ttt_seq = rz.cal_bc_transform(prev_f2pts, ref_info["fim"], ref_info["wim"])  # (T, S, S, 2)
+
+    def rep1(x):
+        return x[0:1] if x.shape[0] == 1 else x
+
+    def step(carry, xs):
+        prev_img, prev_mask, prev_cond = carry
+        tsf_in, tst, ttt = xs
+        # previous prediction as an extra temporal source
+        temp_in = jnp.concatenate([prev_img * (1.0 - prev_mask), prev_cond], axis=-1)[None, None]
+        temp_enc, temp_res = generator.apply(
+            params, temp_in, True, method=generator.forward_src)
+        img, mask = generator.apply(
+            params, tsf_in[None], cache.src_enc_outs, cache.src_res_outs, tst[None],
+            temp_enc, temp_res, ttt[None, None],
+            method=generator.forward_tsf)
+        pred = mask * cache.bg_img + (1.0 - mask) * img
+        cond = tsf_in[..., 3:6]
+        return (img[0], mask[0], cond), (pred[0], mask[0])
+
+    init_cond = tsf_inputs[0, ..., 3:6]
+    init = (jnp.zeros((S, S, 3), tsf_inputs.dtype), jnp.ones((S, S, 1), tsf_inputs.dtype), init_cond)
+    _, (preds, masks) = jax.lax.scan(step, init, (tsf_inputs, Tst, Ttt_seq))
+    return preds, masks
+
+
+# ---------------------------------------------------------------------------
+# Viewer: target SMPLs synthesized from camera-ring rotations
+# ---------------------------------------------------------------------------
+
+
+def make_novel_view_smpls(
+    src_smpl: jnp.ndarray, n_frames: int = 180, use_t_pose: bool = False
+) -> jnp.ndarray:
+    """360-degree y-rotation ring of SMPLs — `create_T_pose_novel_view_smpl`
+    (`services/base_runner.py:11-31`) + `add_view_effect` (`:58-78`).
+
+    Args:
+        src_smpl: (85,) source pose.
+
+    Returns:
+        (n_frames, 85)
+    """
+    from ipercore_tpu.ops.rotations import rodrigues, rotmat_to_axis_angle
+
+    base = jnp.broadcast_to(src_smpl, (n_frames, 85))
+    if use_t_pose:
+        base = base.at[:, 3 + 3:75].set(0.0)
+
+    angles = jnp.linspace(0.0, 2.0 * jnp.pi, n_frames, endpoint=False)
+    ring = rodrigues(jnp.stack([jnp.zeros_like(angles), angles, jnp.zeros_like(angles)], axis=-1))
+    global_rot = rodrigues(base[:, 3:6])
+    new_global = rotmat_to_axis_angle(ring @ global_rot)
+    return base.at[:, 3:6].set(new_global)
+
+
+def add_view_effect(smpls: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
+    """Rotate all frames' global orientation by a fixed y angle —
+    `add_view_effect` (`base_runner.py:58`)."""
+    from ipercore_tpu.ops.rotations import rodrigues, rotmat_to_axis_angle
+
+    a = jnp.deg2rad(jnp.asarray(angle_deg, smpls.dtype))
+    R = rodrigues(jnp.asarray([0.0, 1.0, 0.0]) * a)
+    g = rodrigues(smpls[:, 3:6])
+    return smpls.at[:, 3:6].set(rotmat_to_axis_angle(R[None] @ g))
+
+
+def add_bullet_time_effect(smpls: jnp.ndarray, frame_ids: list[int], duration: int = 60) -> jnp.ndarray:
+    """Freeze pose at `frame_ids` and insert a 360-degree ring of `duration`
+    frames — `add_bullet_time_effect` (`base_runner.py:80-127`). Host-side
+    (numpy) splicing: output length is data-dependent."""
+    import numpy as np
+
+    s = np.asarray(smpls)
+    out = []
+    prev = 0
+    for fid in sorted(frame_ids):
+        fid = min(max(fid, 0), len(s) - 1)
+        out.append(s[prev:fid + 1])
+        ring = np.asarray(make_novel_view_smpls(jnp.asarray(s[fid]), n_frames=duration))
+        out.append(ring)
+        prev = fid + 1
+    out.append(s[prev:])
+    return jnp.asarray(np.concatenate(out, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Swapper: merge multiple sources' caches by part selection
+# ---------------------------------------------------------------------------
+
+
+def merge_source_caches(
+    comp: fc.FlowComposer,
+    caches: list[SourceCache],
+    part_masks: list[jnp.ndarray],
+) -> SourceCache:
+    """Merge per-person source caches for appearance transfer —
+    `Swapper.swap_source_setup` (`imitator.py:548-621`): concatenate encoded
+    features along the source axis; restrict each person's flow sources to its
+    selected faces; merge UV images preferring the primary person.
+
+    Args:
+        caches: one SourceCache per person (primary first);
+        part_masks: (F,) bool per person (primary gets leftover faces).
+    """
+    enc = [jnp.concatenate(xs, axis=1) for xs in zip(*[c.src_enc_outs for c in caches])]
+    res = [jnp.concatenate(xs, axis=1) for xs in zip(*[c.src_res_outs for c in caches])]
+
+    f2pts = []
+    for cache, mask in zip(caches, part_masks):
+        f2pts.append(rz.select_f2pts(cache.src_f2pts, jnp.broadcast_to(
+            mask, (cache.src_f2pts.shape[0],) + mask.shape)))
+    f2pts = jnp.concatenate(f2pts, axis=0)
+
+    uv_imgs = jnp.concatenate([c.uv_img for c in caches], axis=0)  # (P, S, S, 3)
+    vis = (jnp.sum(jnp.abs(uv_imgs), axis=-1, keepdims=True) > 1e-6).astype(uv_imgs.dtype)
+    uv = fc.merge_uv_img(uv_imgs, vis)[None]
+
+    return SourceCache(
+        src_enc_outs=tuple(enc),
+        src_res_outs=tuple(res),
+        uv_img=uv,
+        bg_img=caches[0].bg_img,
+        src_f2pts=f2pts,
+        src_cam=jnp.concatenate([c.src_cam for c in caches], axis=0),
+    )

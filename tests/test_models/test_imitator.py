@@ -1,0 +1,120 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ipercore_tpu.models import smpl as smpl_mod
+from ipercore_tpu.models import flow_composition as fc
+from ipercore_tpu.models import imitator as imit
+from ipercore_tpu.models.mesh import load_assets, part_face_mask
+from ipercore_tpu.models.networks import build_generator
+
+S = 64
+NS = 2
+
+CFG = {
+    "BGNet": {"num_filters": [8, 16, 16, 32], "n_res_block": 1},
+    "SIDNet": {"num_filters": [8, 16, 32], "n_res_block": 1},
+    "TSFNet": {"num_filters": [8, 16, 32], "n_res_block": 1},
+}
+
+
+@pytest.fixture(scope="module")
+def rig():
+    model = smpl_mod.synthetic_model()
+    assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    comp = fc.make_composer(model, assets, image_size=S, out_dilate_ks=11)
+    gen = build_generator("AttLWB-SPADE", CFG)
+    rng = np.random.RandomState(0)
+    bg = jnp.zeros((1, 1, S, S, 4))
+    src = jnp.zeros((1, NS, S, S, 6))
+    tsf = jnp.zeros((1, 1, S, S, 6))
+    Tst = jnp.zeros((1, 1, NS, S, S, 2))
+    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst)
+    return comp, gen, params
+
+
+def _theta(n, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.zeros((n, 85), np.float32)
+    t[:, 0] = 1.2
+    t[:, 3:75] = rng.randn(n, 72) * 0.05
+    t[:, 75:] = rng.randn(n, 10) * 0.2
+    return jnp.asarray(t)
+
+
+def test_setup_source_and_synthesize(rig):
+    comp, gen, params = rig
+    rng = np.random.RandomState(1)
+    src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
+    src_smpl = _theta(NS).reshape(1, NS, 85)
+    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    assert cache.uv_img.shape == (1, S, S, 3)
+    assert cache.bg_img.shape == (1, S, S, 3)
+    assert cache.src_f2pts.shape == (NS, 13776, 3, 2)
+
+    tgt = _theta(3, seed=2)
+    preds, masks = imit.synthesize_frames(comp, gen, params, cache, tgt)
+    assert preds.shape == (3, S, S, 3)
+    assert masks.shape == (3, S, S, 1)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_synthesize_temporal(rig):
+    comp, gen_plain, _ = rig
+    gen = build_generator("AttLWB-SPADE", CFG, temporal=True)
+    bg = jnp.zeros((1, 1, S, S, 4))
+    src = jnp.zeros((1, NS, S, S, 6))
+    tsf = jnp.zeros((1, 2, S, S, 6))
+    Tst = jnp.zeros((1, 2, NS, S, S, 2))
+    Ttt = jnp.zeros((1, 1, S, S, 2))
+    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst, Ttt)
+
+    rng = np.random.RandomState(3)
+    src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
+    src_smpl = _theta(NS).reshape(1, NS, 85)
+    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    tgt = _theta(3, seed=4)
+    preds, masks = imit.synthesize_frames_temporal(comp, gen, params, cache, tgt)
+    assert preds.shape == (3, S, S, 3)
+
+
+def test_novel_view_ring():
+    src = jnp.asarray(np.concatenate([[1.2, 0, 0], np.zeros(72), np.zeros(10)]).astype(np.float32))
+    smpls = imit.make_novel_view_smpls(src, n_frames=8)
+    assert smpls.shape == (8, 85)
+    # frame 0 has the original orientation
+    np.testing.assert_allclose(np.asarray(smpls[0, 3:6]), 0.0, atol=1e-5)
+    # frame 4 is rotated ~180 deg about y
+    a = np.asarray(smpls[4, 3:6])
+    assert abs(np.linalg.norm(a) - np.pi) < 1e-3
+
+
+def test_view_effect_rotates():
+    smpls = jnp.zeros((2, 85))
+    out = imit.add_view_effect(smpls, 90.0)
+    a = np.asarray(out[:, 3:6])
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), np.pi / 2, atol=1e-4)
+
+
+def test_bullet_time_splices():
+    smpls = jnp.zeros((10, 85))
+    out = imit.add_bullet_time_effect(smpls, [5], duration=12)
+    assert out.shape == (22, 85)
+
+
+def test_swapper_merge(rig):
+    comp, gen, params = rig
+    rng = np.random.RandomState(5)
+    caches = []
+    for i in range(2):
+        src_img = jnp.asarray(rng.uniform(-1, 1, (1, 1, S, S, 3)), jnp.float32)
+        src_smpl = _theta(1, seed=10 + i).reshape(1, 1, 85)
+        caches.append(imit.setup_source(comp, gen, params, src_img, src_smpl))
+    upper = part_face_mask(comp.assets, ["upper"])
+    rest = ~upper
+    merged = imit.merge_source_caches(comp, caches, [rest, upper])
+    assert merged.src_f2pts.shape == (2, 13776, 3, 2)
+    assert merged.uv_img.shape == (1, S, S, 3)
+    preds, _ = imit.synthesize_frames(comp, gen, params, merged, _theta(2, seed=6))
+    assert preds.shape == (2, S, S, 3)
