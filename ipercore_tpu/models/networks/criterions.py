@@ -141,10 +141,11 @@ def lsgan_loss(outs: Sequence[jnp.ndarray], target: float) -> jnp.ndarray:
     """LSGAN mean((out - target)^2) averaged over heads — `ganloss.py:13-21`.
 
     The reference trains with real=1, fake=-1 (`lwg_trainer.py:791`)."""
+    valid = [o for o in outs if o.size > 0]  # tiny crops can collapse to 0-size
     loss = 0.0
-    for o in outs:
+    for o in valid:
         loss = loss + jnp.mean((o - target) ** 2)
-    return loss / len(outs)
+    return loss / max(len(valid), 1)
 
 
 def tv_loss(mask: jnp.ndarray) -> jnp.ndarray:
