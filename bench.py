@@ -1,0 +1,95 @@
+"""Benchmark: frames/sec of 512x512 motion-imitation synthesis on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline context (BASELINE.md): the reference's per-frame python loop on a
+V100 runs the AttLWB-SPADE pipeline (rasterize + flow + generator) serially;
+no official frames/sec is published, so `vs_baseline` is measured against a
+conservative V100 estimate of 4 fps at 512^2 (per-frame CUDA raster + generator
+forward + per-frame png writes, `iPERCore/models/imitator.py:328-397`).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_FPS = 4.0
+SIZE = 512
+FRAMES_PER_BATCH = 8
+WARMUP_BATCHES = 2
+BENCH_BATCHES = 5
+NS = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models import flow_composition as fc
+    from ipercore_tpu.models import imitator as imit
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.models.networks import build_generator
+
+    model = smpl_mod.synthetic_model()
+    assets = load_assets(model)
+    comp = fc.make_composer(model, assets, image_size=SIZE, out_dilate_ks=51)
+
+    # Full-size generator config (AttLWB-SPADE.toml parity).
+    cfg = {
+        "BGNet": {"num_filters": [64, 128, 128, 256], "n_res_block": 6},
+        "SIDNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
+        "TSFNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
+    }
+    gen = build_generator("AttLWB-SPADE", cfg)
+
+    rng = np.random.RandomState(0)
+    S = SIZE
+    bg = jnp.zeros((1, 1, S, S, 4))
+    src_in = jnp.zeros((1, NS, S, S, 6))
+    tsf = jnp.zeros((1, 1, S, S, 6))
+    Tst0 = jnp.zeros((1, 1, NS, S, S, 2))
+    params = gen.init(jax.random.PRNGKey(0), bg, src_in, tsf, Tst0, None, False)
+
+    src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
+    theta = np.zeros((NS, 85), np.float32)
+    theta[:, 0] = 1.2
+    theta[:, 3:75] = rng.randn(NS, 72).astype(np.float32) * 0.05
+    src_smpl = jnp.asarray(theta).reshape(1, NS, 85)
+    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    cache = jax.block_until_ready(cache)
+
+    @jax.jit
+    def run(params, cache, tgt):
+        return imit.synthesize_frames(comp, gen, params, cache, tgt)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        t = np.zeros((FRAMES_PER_BATCH, 85), np.float32)
+        t[:, 0] = 1.2
+        t[:, 3:75] = r.randn(FRAMES_PER_BATCH, 72).astype(np.float32) * 0.1
+        return jnp.asarray(t)
+
+    for i in range(WARMUP_BATCHES):
+        preds, masks = run(params, cache, make_batch(i))
+        jax.block_until_ready(preds)
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_BATCHES):
+        preds, masks = run(params, cache, make_batch(100 + i))
+        jax.block_until_ready(preds)
+    dt = time.perf_counter() - t0
+
+    fps = BENCH_BATCHES * FRAMES_PER_BATCH / dt
+    print(json.dumps({
+        "metric": f"imitation_frames_per_sec_{SIZE}x{SIZE}_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -215,16 +215,20 @@ def find_part_k_nearest_faces(f2uvs: np.ndarray, face_parts: np.ndarray, k: int 
     Reference parity: `mesh.find_part_k_nearest_faces:298` (used for the
     visible-face dilation in `nmr.get_vis_f2pts:639`).
     """
-    centers = f2uvs.mean(axis=1)  # (F, 2)
+    centers = f2uvs.mean(axis=1).astype(np.float32)  # (F, 2)
     F = centers.shape[0]
     out = np.zeros((F, k), np.int64)
     for p in np.unique(face_parts):
         ids = np.nonzero(face_parts == p)[0]
         c = centers[ids]  # (n, 2)
-        d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         kk = min(k, len(ids))
-        nn = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
-        sel = ids[nn]
+        # chunk the row axis so memory stays bounded for big parts
+        sel = np.empty((len(ids), kk), np.int64)
+        chunk = max(1, int(4e7) // max(len(ids), 1))
+        for s in range(0, len(ids), chunk):
+            d2 = ((c[s:s + chunk, None, :] - c[None, :, :]) ** 2).sum(-1)
+            sel[s:s + chunk] = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
+        sel = ids[sel]
         if kk < k:  # pad with self
             sel = np.concatenate([sel, np.tile(ids[:, None], (1, k - kk))], axis=1)
         out[ids] = sel
@@ -272,14 +276,20 @@ def load_assets(
         with open(part_path) as f:
             part_info = json.load(f)
         face_parts = np.full((n_faces,), 1, np.int32)
-        # reference JSON: {part_name: [face ids]} (see mesh.get_part_face_ids:543)
-        for name, ids in part_info.items():
-            key = name.lower()
-            if key in PART_IDS and len(PART_IDS[key]) == 1:
-                label = PART_IDS[key][0]
-                fids = np.asarray(ids, np.int64).ravel()
-                fids = fids[(fids >= 0) & (fids < n_faces)]
-                face_parts[fids] = label
+        # reference JSON (`smpl_part_info.json`): keys like "00_head" mapping to
+        # {"vertex": [...], "face": [...]} (consumed by `mesh.get_part_ids:356`).
+        for name, val in part_info.items():
+            key = name.split("_", 1)[-1] if name[:2].isdigit() else name
+            key = key.lower()
+            if key.startswith("facial"):
+                key = "facial"
+            if key not in PART_IDS or len(PART_IDS[key]) != 1:
+                continue
+            label = PART_IDS[key][0]
+            ids = val["face"] if isinstance(val, dict) else val
+            fids = np.asarray(ids, np.int64).ravel()
+            fids = fids[(fids >= 0) & (fids < n_faces)]
+            face_parts[fids] = label
     else:
         face_parts = synthetic_face_parts(model, n_faces)
 
