@@ -51,14 +51,17 @@ def main():
     src_in = jnp.zeros((1, NS, S, S, 6))
     tsf = jnp.zeros((1, 1, S, S, 6))
     Tst0 = jnp.zeros((1, 1, NS, S, S, 2))
-    params = gen.init(jax.random.PRNGKey(0), bg, src_in, tsf, Tst0, None, False)
+    params = jax.jit(
+        lambda r: gen.init(r, bg, src_in, tsf, Tst0, None, False))(jax.random.PRNGKey(0))
 
     src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
     theta = np.zeros((NS, 85), np.float32)
     theta[:, 0] = 1.2
     theta[:, 3:75] = rng.randn(NS, 72).astype(np.float32) * 0.05
     src_smpl = jnp.asarray(theta).reshape(1, NS, 85)
-    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    cache = jax.jit(
+        lambda p, si, ss: imit.setup_source(comp, gen, p, si, ss)
+    )(params, src_img, src_smpl)
     cache = jax.block_until_ready(cache)
 
     @jax.jit

@@ -118,16 +118,18 @@ def load_model(path: str) -> SMPLModel:
     )
 
 
-def synthetic_model(n_joints: int = NUM_JOINTS_SMPL, seed: int = 0) -> SMPLModel:
+def synthetic_model(
+    n_joints: int = NUM_JOINTS_SMPL, seed: int = 0, nu: int = 84, nv: int = 82
+) -> SMPLModel:
     """Deterministic body-shaped stand-in with exact SMPL cardinalities.
 
-    A UV-sphere (84 x 82 grid + 2 poles = 6890 verts, 13776 faces) squashed
-    into a rough humanoid silhouette; smooth distance-based skinning weights to
-    a spine of joints; small random shape/pose blendshapes. Numerically tame so
-    golden tests are stable across backends.
+    A UV-sphere (nu x nv grid + 2 poles; default 84 x 82 -> 6890 verts, 13776
+    faces — the SMPL counts) squashed into a rough humanoid silhouette; smooth
+    distance-based skinning weights to a spine of joints; small random
+    shape/pose blendshapes. Numerically tame so golden tests are stable across
+    backends. Pass smaller (nu, nv) for cheap compile-validation meshes.
     """
     rng = np.random.RandomState(seed)
-    nu, nv = 84, 82  # nu * nv + 2 == 6890
     V = nu * nv + 2
 
     # --- vertices: unit sphere -> elongated "body"
@@ -142,7 +144,7 @@ def synthetic_model(n_joints: int = NUM_JOINTS_SMPL, seed: int = 0) -> SMPLModel
     verts_grid = np.stack([x * r, y * 0.95, z * r], axis=-1).reshape(-1, 3)
     poles = np.array([[0.0, 0.97, 0.0], [0.0, -0.97, 0.0]])
     v_template = np.concatenate([poles[:1], verts_grid, poles[1:]], axis=0).astype(np.float32)
-    assert v_template.shape[0] == NUM_VERTS
+    assert v_template.shape[0] == V
 
     # --- faces: top cap, grid quads (2 tris each), bottom cap
     def vid(i, j):  # ring i (0..nv-1), column j (0..nu-1)
@@ -156,11 +158,11 @@ def synthetic_model(n_joints: int = NUM_JOINTS_SMPL, seed: int = 0) -> SMPLModel
             a, b, c, d = vid(i, j), vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)
             faces.append([a, b, c])
             faces.append([b, d, c])
-    last = NUM_VERTS - 1
+    last = V - 1
     for j in range(nu):  # bottom cap
         faces.append([last, vid(nv - 1, j + 1), vid(nv - 1, j)])
     faces = np.asarray(faces, np.int32)
-    assert faces.shape[0] == NUM_FACES, faces.shape
+    assert faces.shape[0] == 2 * nu * nv, faces.shape
 
     # --- joints on a spine + limb-ish offsets, kinematic chain
     J = n_joints
@@ -184,11 +186,11 @@ def synthetic_model(n_joints: int = NUM_JOINTS_SMPL, seed: int = 0) -> SMPLModel
     w = np.exp(-d2.T / 0.05)  # (V, J)
     lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
-    shapedirs = (rng.randn(NUM_VERTS, 3, NUM_SHAPE) * 0.01).astype(np.float32)
-    posedirs = (rng.randn(NUM_VERTS, 3, 9 * (J - 1)) * 0.001).astype(np.float32)
+    shapedirs = (rng.randn(V, 3, NUM_SHAPE) * 0.01).astype(np.float32)
+    posedirs = (rng.randn(V, 3, 9 * (J - 1)) * 0.001).astype(np.float32)
 
     # cocoplus-ish 19-joint regressor: reuse first joints cyclically
-    cjr = np.zeros((NUM_COCOPLUS_JOINTS, NUM_VERTS), np.float32)
+    cjr = np.zeros((NUM_COCOPLUS_JOINTS, V), np.float32)
     for k in range(NUM_COCOPLUS_JOINTS):
         cjr[k] = j_regressor[k % min(J, 24)]
 

@@ -105,11 +105,13 @@ def create_train_state(
     Tst = jnp.zeros((1, nt, ns, S, S, 2))
     Ttt = jnp.zeros((1, max(nt - 1, 1), S, S, 2)) if cfg.temporal else None
     if params_G is None:
-        params_G = generator.init(rng_g, bg, src, tsf, Tst, Ttt, False)
+        # jit the init: eager flax init dispatches thousands of tiny ops.
+        params_G = jax.jit(
+            lambda r: generator.init(r, bg, src, tsf, Tst, Ttt, False))(rng_g)
 
     x = jnp.zeros((1, S, S, 6))
     bbox = jnp.asarray([[-0.5, -0.5, 0.5, 0.5]])
-    params_D = discriminator.init(rng_d, x, None, bbox, bbox)
+    params_D = jax.jit(lambda r: discriminator.init(r, x, None, bbox, bbox))(rng_d)
 
     tx_g = optax.adam(cfg.lr_g, b1=0.5, b2=0.999)
     tx_d = optax.adam(cfg.lr_d, b1=0.5, b2=0.999)
