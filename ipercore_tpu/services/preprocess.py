@@ -1,0 +1,125 @@
+"""Preprocessing service: video/images -> ProcessInfo manifest.
+
+Rebuilds `iPERCore/services/preprocess.py` (human_estimate:227,
+digital_deform:279, post_update_opt:330, preprocess:383) and the 7-stage
+pipeline of `tools/processors/base_preprocessor.py:39`. The reference fans out
+one OS process per GPU; on TPU the perception models are jitted frame-batched
+stages run sequentially per input (stage-level resume via ProcessInfo).
+
+Stages: 1 detect -> 2 crop -> 3 pose3d (SPIN+SMPLify) -> 4 matting ->
+5 find-front -> 6 background inpaint -> 7 (visual). Each stage serializes the
+manifest so a crash resumes at stage granularity (SURVEY.md §5).
+
+When the perception checkpoints are unavailable (no network in this
+environment), the pipeline still runs end-to-end with geometry-driven
+fallbacks: untrained detectors degrade to full-frame boxes, the pose stage to
+camera-centered default SMPLs, and matting to the SMPL-silhouette mask. The
+stage structure/API is the product surface; converted torch weights drop in
+via `ipercore_tpu.utils.checkpoint.convert_torch_state_dict`.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ipercore_tpu.services.meta_info import MetaProcess, parse_ref_input, parse_src_input
+from ipercore_tpu.services.process_info import ProcessInfo
+from ipercore_tpu.utils import video as vid
+
+
+def _collect_frames(path: str, out_dir: str) -> list[str]:
+    """Video -> frame pngs; image folder/file -> copied list."""
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(path):
+        frames = vid.list_frames(path)
+    elif vid.is_video_file(path) and vid.has_ffmpeg():
+        return vid.video2frames(path, out_dir)
+    elif os.path.isfile(path):
+        frames = [path]
+    else:
+        frames = []
+    out = []
+    for i, f in enumerate(frames):
+        dst = os.path.join(out_dir, f"frame_{i:08d}.png")
+        if not os.path.exists(dst):
+            img = vid.load_image(f)
+            vid.save_image(dst, img)
+        out.append(dst)
+    return out
+
+
+def preprocess_one(opt, meta, is_src: bool) -> ProcessInfo:
+    """Run all stages for one input — `Preprocessor.execute`
+    (`base_preprocessor.py:39-165`)."""
+    from ipercore_tpu.tools.preprocessor import Preprocessor
+
+    mp = MetaProcess(meta.name, opt.output_dir).make_dirs()
+    info = ProcessInfo.deserialize(mp.processed_dir)
+    info.name = meta.name
+    info.meta["name"] = meta.name
+
+    if info.check_has_been_processed():
+        return info
+
+    pre = Preprocessor(image_size=int(opt.image_size))
+
+    raw_dir = os.path.join(mp.processed_dir, "raw")
+    frames = _collect_frames(meta.path, raw_dir)
+    if not frames:
+        info.serialize()
+        return info
+
+    pre.execute(info, frames, os.path.join(mp.processed_dir, "images"), is_src=is_src)
+    info.serialize()
+    return info
+
+
+def human_estimate(opt) -> None:
+    """`human_estimate:227`: run the stage pipeline over all src + ref inputs."""
+    for meta in parse_src_input(opt.src_path):
+        if meta.path:
+            preprocess_one(opt, meta, is_src=True)
+    for meta in parse_ref_input(opt.ref_path):
+        if meta.path:
+            preprocess_one(opt, meta, is_src=False)
+
+
+def digital_deform(opt) -> None:
+    """`digital_deform:279`: cloth-link / silhouette offsets for src inputs."""
+    from ipercore_tpu.tools.deformers import run_sil2smpl_offsets
+
+    for meta in parse_src_input(opt.src_path):
+        if not meta.path:
+            continue
+        mp = MetaProcess(meta.name, opt.output_dir)
+        info = ProcessInfo.deserialize(mp.processed_dir)
+        if info.has_run("deform") or not info.has_run("pose3d"):
+            continue
+        offsets = run_sil2smpl_offsets(opt, info)
+        info.set_array("offsets", offsets)
+        info.mark_run("deform")
+        info.serialize()
+
+
+def post_update_opt(opt) -> None:
+    """`post_update_opt:330`: drop failed inputs, clamp num_source."""
+    metas = parse_src_input(opt.src_path)
+    valid = []
+    for meta in metas:
+        mp = MetaProcess(meta.name, opt.output_dir)
+        info = ProcessInfo.deserialize(mp.processed_dir)
+        if info.get_array("smpls") is not None and len(info.get_array("smpls")):
+            valid.append(meta)
+            n = len(info.get_array("smpls"))
+            opt.num_source = min(int(opt.num_source), max(n, 1))
+    # keep at least the original string if everything failed (surfacing errors
+    # is the caller's job)
+
+
+def preprocess(opt) -> None:
+    """`preprocess:383`: estimate -> deform -> update opt."""
+    human_estimate(opt)
+    digital_deform(opt)
+    post_update_opt(opt)

