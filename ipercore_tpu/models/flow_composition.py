@@ -58,7 +58,7 @@ def make_composer(
     conf_erode_ks: int = 3,
     out_dilate_ks: int = 51,
     only_vis: bool = False,
-    raster_chunk: int = 2048,
+    raster_chunk: int | None = None,
 ) -> FlowComposer:
     """Build the static composer context (rasterizes the UV template once —
     reference `make_uv_setup`, `flowcomposition.py:78-85`)."""
@@ -90,7 +90,7 @@ def render_smpl_info(
     masks: Optional[jnp.ndarray] = None,
     use_morph: bool = False,
     get_uv_info: bool = True,
-    raster_chunk: int = 2048,
+    raster_chunk: int | None = None,
 ) -> dict:
     """Render per-frame geometry products — `add_rendered_f2verts_fim_wim`
     (`flowcomposition.py:139-204`).

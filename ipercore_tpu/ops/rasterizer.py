@@ -143,8 +143,17 @@ def _face_bary_matrices(face_verts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarr
     return M, valid
 
 
+def _auto_chunk(size: int) -> int:
+    """Face-chunk size bounding the (chunk*3, S*S) barycentric intermediate to
+    ~128 MB f32 per frame (the z-buffer scan's live working set)."""
+    P = size * size
+    budget_elems = 32_000_000  # ~128 MB f32 for the (chunk*3, P) matmul output
+    c = max(64, budget_elems // (3 * P))
+    return min(4096, (c // 64) * 64 or 64)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "chunk"))
-def rasterize(face_verts: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOutput:
+def rasterize(face_verts: jnp.ndarray, size: int, chunk: int | None = None) -> RasterOutput:
     """Z-buffer rasterize triangles to a face-index map + barycentric-weight map.
 
     XLA reference implementation (correctness path). The barycentric solve for a
@@ -160,6 +169,8 @@ def rasterize(face_verts: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOu
     Returns:
         RasterOutput(fim (S, S) int32, wim (S, S, 3) f32).
     """
+    if chunk is None:
+        chunk = _auto_chunk(size)
     F = face_verts.shape[0]
     P = size * size
     pixels = _pixel_centers(size, face_verts.dtype)  # (P, 3)
@@ -177,15 +188,36 @@ def rasterize(face_verts: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOu
         jnp.zeros((P, 3), dtype=face_verts.dtype),  # best barycentrics
     )
 
+    eps_px = 2.0 / size  # one-pixel slack in NDC
+
     def step(carry, inp):
         best_z, best_id, best_w = carry
         fvc, ids = inp  # (chunk, 3, 3), (chunk,)
         M, valid = _face_bary_matrices(fvc)  # (chunk, 3, 3), (chunk,)
-        # Barycentrics for every (face, pixel): one MXU matmul.
-        W = (M.reshape(chunk * 3, 3) @ pixels_T).reshape(chunk, 3, P)
+        # Barycentrics for every (face, pixel): one MXU matmul. HIGHEST
+        # precision is load-bearing: sliver faces have huge, canceling M
+        # coefficients, and the TPU's default bf16 matmul passes corrupt W.
+        W = jax.lax.dot_general(
+            M.reshape(chunk * 3, 3), pixels_T,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).reshape(chunk, 3, P)
         inside = jnp.all(W >= -1e-6, axis=1)  # (chunk, P)
+        # bbox guard: near-degenerate slivers produce unstable barycentrics
+        # that can claim pixels far from the face — restrict coverage to the
+        # face's bounding box (+1 px), as a hardware rasterizer would.
+        fx, fy = fvc[..., 0], fvc[..., 1]  # (chunk, 3)
+        in_bbox = (
+            (pixels_T[0][None] >= jnp.min(fx, -1)[:, None] - eps_px)
+            & (pixels_T[0][None] <= jnp.max(fx, -1)[:, None] + eps_px)
+            & (pixels_T[1][None] >= jnp.min(fy, -1)[:, None] - eps_px)
+            & (pixels_T[1][None] <= jnp.max(fy, -1)[:, None] + eps_px)
+        )
+        inside = inside & in_bbox
         z_face = fvc[..., 2]  # (chunk, 3)
-        depth = jnp.einsum("ckp,ck->cp", W, z_face)  # (chunk, P)
+        depth = jnp.einsum("ckp,ck->cp", W, z_face,
+                           precision=jax.lax.Precision.HIGHEST)  # (chunk, P)
         ok = inside & valid[:, None] & (depth > NEAR) & (depth < FAR)
         depth = jnp.where(ok, depth, jnp.inf)
         # Per-chunk winner per pixel.
@@ -206,13 +238,27 @@ def rasterize(face_verts: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOu
     return RasterOutput(fim=fim, wim=wim)
 
 
-def rasterize_batch(face_verts: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOutput:
-    """vmap of `rasterize` over a leading batch axis. face_verts: (N, F, 3, 3)."""
+def _use_pallas(size: int) -> bool:
+    """Dispatch to the Pallas kernel on TPU when the image size fits its tile
+    constraints (multiples of 128); the XLA scan covers everything else."""
+    return jax.default_backend() == "tpu" and size % 128 == 0
+
+
+def rasterize_batch(face_verts: jnp.ndarray, size: int, chunk: int | None = None) -> RasterOutput:
+    """vmap of `rasterize` over a leading batch axis. face_verts: (N, F, 3, 3).
+
+    Automatically uses the Pallas TPU kernel (~90x faster at 512^2) when
+    running on TPU; the XLA scan otherwise.
+    """
+    if _use_pallas(size):
+        from ipercore_tpu.ops.rasterizer_pallas import rasterize_pallas_batch
+
+        return rasterize_pallas_batch(face_verts, size)
     return jax.vmap(lambda fv: rasterize(fv, size, chunk))(face_verts)
 
 
 def render_fim_wim(
-    verts: jnp.ndarray, cam: jnp.ndarray, faces: jnp.ndarray, size: int, chunk: int = 1024
+    verts: jnp.ndarray, cam: jnp.ndarray, faces: jnp.ndarray, size: int, chunk: int | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Project + rasterize a batch. Reference parity: `nmr.py:319-342`.
 
@@ -229,7 +275,7 @@ def render_fim_wim(
     return face_verts[..., 0:2], out.fim, out.wim
 
 
-def rasterize_uv_template(f2uvs: jnp.ndarray, size: int, chunk: int = 1024) -> RasterOutput:
+def rasterize_uv_template(f2uvs: jnp.ndarray, size: int, chunk: int | None = None) -> RasterOutput:
     """Rasterize the (static) UV-unwrap template once. `nmr.py:344-358`.
 
     Args:
@@ -239,7 +285,12 @@ def rasterize_uv_template(f2uvs: jnp.ndarray, size: int, chunk: int = 1024) -> R
         RasterOutput for a single (S, S) UV-space image.
     """
     z = jnp.ones(f2uvs.shape[:-1] + (1,), f2uvs.dtype)
-    return rasterize(jnp.concatenate([f2uvs, z], axis=-1), size, chunk)
+    fv = jnp.concatenate([f2uvs, z], axis=-1)
+    if _use_pallas(size):
+        from ipercore_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+        return rasterize_pallas(fv, size)
+    return rasterize(fv, size, chunk)
 
 
 def cal_bc_transform(

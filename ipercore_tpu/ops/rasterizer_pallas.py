@@ -1,0 +1,245 @@
+"""Pallas TPU z-buffer rasterizer: tile-binned face-index-map kernel.
+
+The hot geometry op of the whole framework (replaces neural_renderer's CUDA
+`rasterize_face_index_map_and_weight_map`, consumed via
+`ipercore_tpu.ops.rasterizer.render_fim_wim`). The pure-XLA scan in
+`rasterizer.py` is the correctness reference; it moves O(F * P) barycentric
+data through HBM (~43 GB/frame at 512^2) and is ~3 s/frame on a v5e. This
+kernel:
+
+  1. (XLA prep) computes per-face barycentric matrices + depth rows, bins
+     faces into (8, 128)-pixel tiles by bbox overlap (one `top_k` over a
+     (tiles, F) boolean), and gathers per-tile face tables;
+  2. (Pallas) per pixel-tile, loops the tile's face list through VMEM in
+     chunks, evaluating barycentrics on the VPU and keeping a (8, 128)
+     z-buffer + tile-local winner index entirely on-chip;
+  3. (XLA post) maps tile-local winners to global face ids and reconstructs
+     the barycentric-weight map analytically from the winning face's matrix.
+
+Total HBM traffic ~ (faces + per-tile tables + one (S, S) image) per frame —
+three orders of magnitude below the XLA scan.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ipercore_tpu.ops.rasterizer import (
+    FAR,
+    NEAR,
+    RasterOutput,
+    _face_bary_matrices,
+    _pixel_centers,
+)
+
+TILE_H = 8
+TILE_W = 128
+_BIG = 1e30  # python float: jnp scalars would be captured as kernel constants
+
+
+def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
+    """Bin faces to pixel tiles by bbox overlap.
+
+    Returns:
+        params: (n_tiles, k, 12) f32 — rows of the barycentric matrix (9)
+            + per-vertex depth (3) for each binned face;
+        ids: (n_tiles, k) int32 global face id (for unbinned slots: arbitrary);
+        mask: (n_tiles, k) bool — slot holds a real overlapping face.
+    """
+    S = size
+    gy, gx = S // TILE_H, S // TILE_W
+    n_tiles = gy * gx
+
+    M, valid = _face_bary_matrices(face_verts)  # (F, 3, 3), (F,)
+    z = face_verts[..., 2]  # (F, 3)
+    x = face_verts[..., 0]
+    y = face_verts[..., 1]
+
+    # face bbox in pixel units: px = (x + 1) * S/2 - 0.5
+    def to_px(v):
+        return (v + 1.0) * (S * 0.5) - 0.5
+
+    x0 = to_px(jnp.min(x, axis=-1))
+    x1 = to_px(jnp.max(x, axis=-1))
+    y0 = to_px(jnp.min(y, axis=-1))
+    y1 = to_px(jnp.max(y, axis=-1))
+
+    # tile index ranges covered by the bbox (conservative: +/- 1 px)
+    tx0 = jnp.clip(jnp.floor((x0 - 1) / TILE_W), 0, gx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x1 + 1) / TILE_W), 0, gx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y0 - 1) / TILE_H), 0, gy - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y1 + 1) / TILE_H), 0, gy - 1).astype(jnp.int32)
+
+    tys = jnp.arange(gy, dtype=jnp.int32)
+    txs = jnp.arange(gx, dtype=jnp.int32)
+    oy = (tys[:, None] >= ty0[None, :]) & (tys[:, None] <= ty1[None, :])  # (gy, F)
+    ox = (txs[:, None] >= tx0[None, :]) & (txs[:, None] <= tx1[None, :])  # (gx, F)
+    overlap = oy[:, None, :] & ox[None, :, :]  # (gy, gx, F)
+    overlap = overlap & valid[None, None, :]
+    overlap = overlap.reshape(n_tiles, -1)
+
+    F = overlap.shape[1]
+    if F < k:  # pad face axis so k faces can always be binned
+        overlap = jnp.pad(overlap, ((0, 0), (0, k - F)))
+    score, ids = jax.lax.top_k(overlap.astype(jnp.int8), k)  # (n_tiles, k)
+    ids = jnp.minimum(ids, F - 1)
+    mask = score > 0
+    ids = ids.astype(jnp.int32)
+
+    # params rows: [M 9 | z 3 | bbox 4 (xmin, xmax, ymin, ymax in NDC)]
+    bbox = jnp.stack(
+        [jnp.min(x, -1), jnp.max(x, -1), jnp.min(y, -1), jnp.max(y, -1)], axis=-1)
+    params = jnp.concatenate([M.reshape(-1, 9), z, bbox], axis=-1)  # (F, 16)
+    tile_params = jnp.take(params, ids, axis=0)  # (n_tiles, k, 16)
+    return tile_params, ids, mask
+
+
+def _raster_kernel(params_ref, mask_ref, local_ref, zout_ref, *, size, k, chunk):
+    """One pixel tile: z-buffer its face list.
+
+    params_ref: (1, k, 16) VMEM; mask_ref: (1, k, 1) f32 VMEM (1.0 = real);
+    local_ref: (TILE_H, TILE_W) int32 out — tile-local winner index or -1;
+    zout_ref: (TILE_H, TILE_W) f32 out — winning depth (inf = background).
+    """
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+
+    S = size
+    # pixel NDC coords of this tile (iota must be integer on TPU)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    py = (gy * TILE_H + row) * (2.0 / S) + (1.0 - S) / S
+    px = (gx * TILE_W + col) * (2.0 / S) + (1.0 - S) / S
+
+    n_chunks = k // chunk
+
+    def body(ci, carry):
+        best_z, best_i = carry
+        p = params_ref[0, pl.ds(ci * chunk, chunk), :]  # (chunk, 12)
+        m = mask_ref[0, pl.ds(ci * chunk, chunk), 0]  # (chunk,)
+
+        def bary(j):
+            a = p[:, 3 * j + 0][:, None, None]
+            b = p[:, 3 * j + 1][:, None, None]
+            c = p[:, 3 * j + 2][:, None, None]
+            return a * px[None] + b * py[None] + c  # (chunk, TH, TW)
+
+        w0, w1, w2 = bary(0), bary(1), bary(2)
+        inside = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6)
+        # per-face bbox guard (+1 px): sliver faces must not claim far pixels
+        eps_px = 2.0 / S
+        in_bbox = (
+            (px[None] >= p[:, 12][:, None, None] - eps_px)
+            & (px[None] <= p[:, 13][:, None, None] + eps_px)
+            & (py[None] >= p[:, 14][:, None, None] - eps_px)
+            & (py[None] <= p[:, 15][:, None, None] + eps_px)
+        )
+        inside = inside & in_bbox
+        depth = (
+            w0 * p[:, 9][:, None, None]
+            + w1 * p[:, 10][:, None, None]
+            + w2 * p[:, 11][:, None, None]
+        )
+        ok = inside & (m > 0)[:, None, None] & (depth > NEAR) & (depth < FAR)
+        depth = jnp.where(ok, depth, _BIG)
+
+        zmin = jnp.min(depth, axis=0)  # (TH, TW)
+        amin = jnp.argmin(depth, axis=0).astype(jnp.int32)  # (TH, TW)
+        take = zmin < best_z
+        best_z = jnp.where(take, zmin, best_z)
+        best_i = jnp.where(take, ci * chunk + amin, best_i)
+        return best_z, best_i
+
+    init = (
+        jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+    )
+    best_z, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    local_ref[:, :] = jnp.where(best_z < _BIG, best_i, -1)
+    zout_ref[:, :] = best_z
+
+
+@functools.partial(jax.jit, static_argnames=("size", "k", "chunk", "interpret"))
+def rasterize_pallas(
+    face_verts: jnp.ndarray,
+    size: int,
+    k: int = 2048,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> RasterOutput:
+    """Tile-binned Pallas rasterization of one frame.
+
+    Args:
+        face_verts: (F, 3, 3) projected faces (same contract as
+            `rasterizer.rasterize`).
+        size: image size S (multiple of 128).
+        k: max faces binned per (8, 128) tile (overflow faces are dropped —
+            choose k above the densest tile's face count).
+        chunk: faces per VMEM processing step (divides k).
+
+    Returns:
+        RasterOutput(fim (S, S) int32, wim (S, S, 3) f32).
+    """
+    S = size
+    assert S % TILE_W == 0 and S % TILE_H == 0, "size must be a multiple of 128"
+    gy, gx = S // TILE_H, S // TILE_W
+    n_tiles = gy * gx
+
+    tile_params, ids, mask = _bin_faces(face_verts, size, k)
+    maskf = mask.astype(jnp.float32)[..., None]  # (n_tiles, k, 1)
+
+    local, best_z = pl.pallas_call(
+        functools.partial(_raster_kernel, size=size, k=k, chunk=chunk),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec((1, k, 16), lambda i, j: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 1), lambda i, j: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, S), jnp.int32),
+            jax.ShapeDtypeStruct((S, S), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tile_params, maskf)
+
+    # map tile-local winner -> global face id
+    local_tiles = local.reshape(gy, TILE_H, gx, TILE_W).transpose(0, 2, 1, 3)
+    local_flat = local_tiles.reshape(n_tiles, TILE_H * TILE_W)
+    safe_local = jnp.maximum(local_flat, 0)
+    fid_flat = jnp.take_along_axis(ids, safe_local, axis=1)
+    fid_flat = jnp.where(local_flat >= 0, fid_flat, -1)
+    fim = (
+        fid_flat.reshape(gy, gx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(S, S)
+    )
+
+    # reconstruct wim analytically: w = M[fim] @ (x, y, 1)
+    M, _ = _face_bary_matrices(face_verts)
+    pix = _pixel_centers(S, face_verts.dtype)  # (P, 3)
+    Mw = jnp.take(M, jnp.maximum(fim.ravel(), 0), axis=0)  # (P, 3, 3)
+    wim = jnp.einsum("pab,pb->pa", Mw, pix,
+                     precision=jax.lax.Precision.HIGHEST)
+    wim = jnp.where((fim.ravel() >= 0)[:, None], wim, 0.0).reshape(S, S, 3)
+    return RasterOutput(fim=fim, wim=wim)
+
+
+def rasterize_pallas_batch(face_verts: jnp.ndarray, size: int, k: int = 2048,
+                           chunk: int = 128, interpret: bool = False) -> RasterOutput:
+    """vmap over a leading batch axis. face_verts: (N, F, 3, 3)."""
+    return jax.vmap(
+        lambda fv: rasterize_pallas(fv, size, k=k, chunk=chunk, interpret=interpret)
+    )(face_verts)
