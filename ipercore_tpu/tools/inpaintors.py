@@ -1,0 +1,166 @@
+"""Background inpainting + super-resolution.
+
+Rebuilds `iPERCore/tools/background_inpaintors/mmedit_inpaintors.py:29-134`
+(`SuperResolutionInpaintors.run_inpainting:69`): deepfillv2-style gated-conv
+inpainting at a control size, then RRDB (ESRGAN-style) 4x super-resolution
+back to the original size. Both are flax modules with torch-weight converters;
+untrained they degrade to diffusion fill (the pipeline remains runnable and the
+background is plausible — the reference's result is also only a pseudo-bg
+supervision signal, `lwg_trainer.py:609-620`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ipercore_tpu.models.networks.blocks import PAD3
+from ipercore_tpu.ops.sampling import resize_image
+
+
+class GatedConv(nn.Module):
+    """Gated convolution (deepfillv2 primitive)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dilation
+        pad = ((d, d), (d, d))
+        y = nn.Conv(self.features * 2, (3, 3), strides=(self.stride,) * 2,
+                    padding=pad, kernel_dilation=(d, d))(x)
+        feat, gate = jnp.split(y, 2, axis=-1)
+        return nn.elu(feat) * nn.sigmoid(gate)
+
+
+class GatedInpaintor(nn.Module):
+    """Coarse gated-conv inpainting network (deepfillv2 stage-1 topology)."""
+
+    width: int = 48
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, 4) = masked RGB + mask. Returns (N, H, W, 3)."""
+        w = self.width
+        y = GatedConv(w)(x)
+        y = GatedConv(2 * w, stride=2)(y)
+        y = GatedConv(2 * w)(y)
+        y = GatedConv(4 * w, stride=2)(y)
+        for d in (1, 2, 4, 8):
+            y = GatedConv(4 * w, dilation=d)(y)
+        y = GatedConv(4 * w)(y)
+        y = nn.ConvTranspose(2 * w, (4, 4), strides=(2, 2), padding="SAME")(y)
+        y = GatedConv(2 * w)(y)
+        y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(y)
+        y = GatedConv(w)(y)
+        return jnp.tanh(nn.Conv(3, (3, 3), padding=PAD3)(y))
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block (ESRGAN primitive)."""
+
+    width: int = 64
+    growth: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        def dense_block(x):
+            feats = [x]
+            for i in range(4):
+                y = nn.Conv(self.growth, (3, 3), padding=PAD3)(
+                    jnp.concatenate(feats, axis=-1))
+                feats.append(nn.leaky_relu(y, 0.2))
+            out = nn.Conv(self.width, (3, 3), padding=PAD3)(
+                jnp.concatenate(feats, axis=-1))
+            return x + 0.2 * out
+
+        y = x
+        for _ in range(3):
+            y = dense_block(y)
+        return x + 0.2 * y
+
+
+class RRDBNet(nn.Module):
+    """ESRGAN 4x super-resolution — role of `esrgan_x4c64b23g32` (:57-59)."""
+
+    width: int = 64
+    n_blocks: int = 6  # the full ESRGAN uses 23; 6 keeps compile fast
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, 3) in [-1, 1] -> (N, 4H, 4W, 3)."""
+        feat = nn.Conv(self.width, (3, 3), padding=PAD3)(x)
+        y = feat
+        for _ in range(self.n_blocks):
+            y = RRDB(self.width)(y)
+        y = nn.Conv(self.width, (3, 3), padding=PAD3)(y) + feat
+        for _ in range(2):  # 2 x nearest-neighbour 2x upsample
+            n, h, w, c = y.shape
+            y = jax.image.resize(y, (n, h * 2, w * 2, c), "nearest")
+            y = nn.leaky_relu(nn.Conv(self.width, (3, 3), padding=PAD3)(y), 0.2)
+        y = nn.leaky_relu(nn.Conv(self.width, (3, 3), padding=PAD3)(y), 0.2)
+        return jnp.tanh(nn.Conv(3, (3, 3), padding=PAD3)(y))
+
+
+def diffusion_fill(img: jnp.ndarray, mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
+    """Iterative masked diffusion inpaint (training-free fallback).
+
+    img: (N, H, W, 3); mask: (N, H, W, 1) 1 = hole to fill.
+    """
+    from ipercore_tpu.models.flow_composition import boundary_fill
+
+    known = 1.0 - mask
+    return boundary_fill(img, known, jnp.ones_like(mask), iters=iters)
+
+
+class SuperResolutionInpaintor:
+    """Inpaint at control size + SR back — `SuperResolutionInpaintors` (:29)."""
+
+    def __init__(self, inpaint_params=None, sr_params=None, control_size: int = 256,
+                 trained: bool = False):
+        self.control_size = control_size
+        self.net = GatedInpaintor()
+        self.sr = RRDBNet()
+        self.trained = trained or (inpaint_params is not None)
+        s = control_size
+        if inpaint_params is None:
+            inpaint_params = jax.jit(self.net.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)))
+        if sr_params is None:
+            sr_params = jax.jit(self.sr.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)))
+        self.inpaint_params = inpaint_params
+        self.sr_params = sr_params
+        self._inpaint = jax.jit(self.net.apply)
+        self._sr = jax.jit(self.sr.apply)
+
+    def run_inpainting(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """image: (H, W, 3) in [-1, 1]; mask: (H, W, 1) 1 = human region to remove.
+
+        Returns: (H, W, 3) inpainted background — `run_inpainting:69`.
+        """
+        H, W = image.shape[:2]
+        s = self.control_size
+        img_c = resize_image(jnp.asarray(image), s, s)[None]
+        mask_c = (resize_image(jnp.asarray(mask), s, s)[None] > 0.5).astype(jnp.float32)
+        if self.trained:
+            x = jnp.concatenate([img_c * (1 - mask_c), mask_c], axis=-1)
+            out = self._inpaint(self.inpaint_params, x)
+            out = img_c * (1 - mask_c) + out * mask_c
+        else:
+            out = diffusion_fill(img_c * (1 - mask_c), mask_c)
+        if (H, W) != (s, s):
+            if self.trained and max(H, W) >= 4 * s:
+                out = self._sr(self.sr_params, out)
+            out = resize_image(out, H, W)
+        return np.asarray(out[0])
+
+
+def build_background_inpaintors(name: str = "gated_conv+rrdb", **kw) -> SuperResolutionInpaintor:
+    """Builder parity with `build_background_inpaintors` (`preprocessors.py:83`)."""
+    return SuperResolutionInpaintor(**kw)

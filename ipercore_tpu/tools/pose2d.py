@@ -1,0 +1,138 @@
+"""2D pose estimation: OpenPose Body-25 in flax (NHWC) + decoding.
+
+Rebuilds `iPERCore/tools/human_pose2d_estimators/openpose/` — the Body-25
+network (`models/openposenet.py:178`, VGG-ish backbone + multi-stage PAF +
+heatmap heads) and the fast single-scale decode (`post_process.py` infer_fast:
+heatmap NMS -> peak coords). Weight conversion from the torch checkpoint uses
+`ipercore_tpu.utils.checkpoint.convert_torch_state_dict`.
+
+The full greedy PAF part-association of the reference is replaced by the
+single-person argmax decode (the pipeline tracks one person — the reference's
+tracker picks one person anyway, `runner.py:151-205`).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ipercore_tpu.models.networks.blocks import PAD3
+
+N_BODY25_JOINTS = 25
+N_BODY25_PAFS = 52
+
+
+class VGGBackbone(nn.Module):
+    """First 10 VGG-19 conv layers + 2 CPM convs (OpenPose stem)."""
+
+    @nn.compact
+    def __call__(self, x):
+        widths = (64, 64, "p", 128, 128, "p", 256, 256, 256, 256, "p", 512, 512)
+        for w in widths:
+            if w == "p":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.relu(nn.Conv(int(w), (3, 3), padding=PAD3)(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding=PAD3)(x))
+        x = nn.relu(nn.Conv(128, (3, 3), padding=PAD3)(x))
+        return x
+
+
+class OpenPoseStage(nn.Module):
+    """One refinement stage: 5 conv blocks + 2 1x1 heads."""
+
+    out_channels: int
+    first: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k, n = ((3, 3), 3) if self.first else ((7, 7), 5)
+        pad = ((k[0] // 2, k[0] // 2),) * 2
+        width = 96 if self.first else 128
+        for _ in range(n):
+            x = nn.relu(nn.Conv(width, k, padding=pad)(x))
+        x = nn.relu(nn.Conv(256 if self.first else 128, (1, 1))(x))
+        return nn.Conv(self.out_channels, (1, 1))(x)
+
+
+class OpenPoseBody25(nn.Module):
+    """Body-25 OpenPose: stem -> 4 PAF stages -> 2 heatmap stages
+    (`openposenet.py:178-507` topology)."""
+
+    n_paf_stages: int = 4
+    n_hm_stages: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, 3) in [-0.5, 0.5]. Returns (pafs, heatmaps) at H/8."""
+        feat = VGGBackbone()(x)
+        paf = OpenPoseStage(N_BODY25_PAFS, first=True)(feat)
+        for _ in range(self.n_paf_stages - 1):
+            paf = OpenPoseStage(N_BODY25_PAFS)(jnp.concatenate([feat, paf], axis=-1))
+        hm = OpenPoseStage(N_BODY25_JOINTS + 1, first=False)(
+            jnp.concatenate([feat, paf], axis=-1))
+        for _ in range(self.n_hm_stages - 1):
+            hm = OpenPoseStage(N_BODY25_JOINTS + 1)(
+                jnp.concatenate([feat, paf, hm], axis=-1))
+        return paf, hm
+
+
+def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
+    """Argmax decode per joint (single-person) — role of `post_process.py` NMS
+    + grouping for the tracked person.
+
+    Args:
+        heatmaps: (N, h, w, J+1); the last channel is background.
+
+    Returns:
+        kps: (N, J, 2) x,y in [-1, 1] NDC; scores (N, J).
+    """
+    hm = heatmaps[..., :N_BODY25_JOINTS]
+    N, h, w, J = hm.shape
+    flat = hm.reshape(N, h * w, J)
+    idx = jnp.argmax(flat, axis=1)  # (N, J)
+    scores = jnp.take_along_axis(flat, idx[:, None, :], axis=1)[:, 0]  # (N, J)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    x_ndc = (2.0 * xs + 1.0 - w) / w
+    y_ndc = (2.0 * ys + 1.0 - h) / h
+    kps = jnp.stack([x_ndc, y_ndc], axis=-1)
+    valid = scores > threshold
+    return kps, scores, valid
+
+
+class OpenPoseRunner:
+    """Batched jitted runner — role of `OpenPoseRunner` (`runner.py:71-206`)."""
+
+    def __init__(self, params=None, input_size: int = 368):
+        self.net = OpenPoseBody25()
+        self.input_size = input_size
+        if params is None:
+            params = jax.jit(self.net.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, input_size, input_size, 3)))
+        self.params = params
+        self._apply = jax.jit(self.net.apply)
+
+    def run(self, images: np.ndarray):
+        """images: (N, H, W, 3) in [-1, 1]. Returns kps (N, 25, 2), scores."""
+        x = jnp.asarray(images) * 0.5  # [-0.5, 0.5] openpose scaling
+        paf, hm = self._apply(self.params, x)
+        kps, scores, valid = decode_single_person(hm)
+        return np.asarray(kps), np.asarray(scores), np.asarray(valid)
+
+
+# Body-25 -> cocoplus-19 joint mapping (role of the keypoint formatters,
+# `smplify/utils/geometry/keypoints.py:116-406`); -1 = missing.
+BODY25_TO_COCOPLUS19 = np.asarray(
+    [11, 10, 9, 12, 13, 14, 4, 3, 2, 5, 6, 7, 1, 0, 17, 15, 18, 16, 8],
+    np.int32,
+)
+
+
+def body25_to_cocoplus(kps: np.ndarray, scores: np.ndarray):
+    """Map Body-25 keypoints to the 19-joint cocoplus convention."""
+    m = BODY25_TO_COCOPLUS19
+    return kps[..., m, :], scores[..., m]

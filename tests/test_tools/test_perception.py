@@ -1,0 +1,132 @@
+"""Perception stack shape/behaviour tests (CPU-hermetic, tiny shapes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipercore_tpu.tools.trackers import MaxBoxTracker, get_largest_instance, box_iou
+
+
+def test_tracker_picks_largest_then_tracks():
+    tr = MaxBoxTracker()
+    boxes = np.asarray([[0, 0, 10, 10], [0, 0, 50, 50]], np.float32)
+    b = tr(boxes)
+    np.testing.assert_array_equal(b, [0, 0, 50, 50])
+    # continuity: a nearby box beats a bigger far one
+    boxes2 = np.asarray([[2, 2, 52, 52], [100, 100, 200, 200]], np.float32)
+    b2 = tr(boxes2)
+    np.testing.assert_array_equal(b2, [2, 2, 52, 52])
+    # empty detections return the previous box
+    assert tr(np.zeros((0, 4))) is not None
+
+
+def test_box_utils():
+    assert get_largest_instance(np.zeros((0, 4))) is None
+    iou = box_iou(np.asarray([0, 0, 10, 10], np.float32),
+                  np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32))
+    np.testing.assert_allclose(iou, [1.0, 0.0], atol=1e-6)
+
+
+def test_openpose_decode():
+    from ipercore_tpu.tools.pose2d import decode_single_person, N_BODY25_JOINTS
+
+    hm = np.zeros((1, 16, 16, N_BODY25_JOINTS + 1), np.float32)
+    hm[0, 4, 8, 0] = 1.0  # joint 0 at row 4, col 8
+    kps, scores, valid = decode_single_person(jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(kps[0, 0]), [(2 * 8 + 1 - 16) / 16, (2 * 4 + 1 - 16) / 16], atol=1e-5)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
+
+
+def test_spin_theta_conversion():
+    from ipercore_tpu.tools.pose3d import spin_output_to_theta
+
+    n = 2
+    pose6d = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1.0, 0]), (n, 24))
+    shape = jnp.zeros((n, 10))
+    cam = jnp.ones((n, 3))
+    theta = spin_output_to_theta(pose6d, shape, cam)
+    assert theta.shape == (n, 85)
+    np.testing.assert_allclose(np.asarray(theta[:, 3:75]), 0.0, atol=1e-5)  # identity rots
+
+
+def test_smplify_improves_reprojection():
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.tools.pose3d import smplify_refine, SMPLifyConfig
+
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    rng = np.random.RandomState(0)
+    gt = np.zeros((2, 85), np.float32)
+    gt[:, 0] = 1.0
+    gt[:, 3:75] = rng.randn(2, 72) * 0.1
+    d = smpl_mod.get_details(model, jnp.asarray(gt))
+    kps = d["j2d"]
+    conf = jnp.ones((2, 19))
+    # perturbed initialization
+    init = gt.copy()
+    init[:, 3:75] += rng.randn(2, 72).astype(np.float32) * 0.15
+    d0 = smpl_mod.get_details(model, jnp.asarray(init))
+    err0 = float(jnp.abs(d0["j2d"] - kps).mean())
+    refined = smplify_refine(model, jnp.asarray(init), kps, conf,
+                             SMPLifyConfig(n_iters=30, lr=0.03))
+    d1 = smpl_mod.get_details(model, refined)
+    err1 = float(jnp.abs(d1["j2d"] - kps).mean())
+    assert err1 < err0 * 0.8, (err0, err1)
+
+
+def test_trimap_bands():
+    from ipercore_tpu.tools.mattors import generate_trimap
+
+    m = np.zeros((1, 32, 32, 1), np.float32)
+    m[0, 8:24, 8:24] = 1.0
+    tri = np.asarray(generate_trimap(jnp.asarray(m), erode_ks=5, dilate_ks=9))
+    assert tri[0, 16, 16, 0] == 1.0  # confident fg
+    assert tri[0, 0, 0, 0] == 0.0  # confident bg
+    assert (tri == 0.5).sum() > 0  # uncertainty band
+
+
+def test_mattor_fallback_runs():
+    from ipercore_tpu.tools.mattors import HumanMattor
+
+    m = HumanMattor(image_size=64)
+    imgs = np.zeros((1, 64, 64, 3), np.float32)
+    sil = np.zeros((1, 64, 64, 1), np.float32)
+    sil[0, 16:48, 16:48] = 1.0
+    alpha, mask = m.run(imgs, fallback_mask=sil)
+    assert alpha.shape == (1, 64, 64, 1)
+    assert alpha.max() == 1.0 and alpha.min() == 0.0  # fg core + far bg survive the band
+
+
+def test_inpaintor_fallback_fills():
+    from ipercore_tpu.tools.inpaintors import SuperResolutionInpaintor
+
+    inp = SuperResolutionInpaintor(control_size=32)
+    img = np.ones((32, 32, 3), np.float32) * 0.5
+    img[8:16, 8:16] = 0.0
+    mask = np.zeros((32, 32, 1), np.float32)
+    mask[8:16, 8:16] = 1.0
+    out = inp.run_inpainting(img, mask)
+    assert out.shape == (32, 32, 3)
+    # hole pixels pulled toward surrounding value
+    assert abs(out[12, 12].mean() - 0.5) < 0.2
+
+
+def test_cloth_links():
+    from ipercore_tpu.tools.deformers import find_cloth_links
+    from ipercore_tpu.models import smpl as smpl_mod
+
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    links = find_cloth_links(np.asarray(model.v_template), cloth_mask_low_y=-0.3)
+    assert links.shape[1] == 3
+    assert len(links) > 0
+    v = np.asarray(model.v_template)
+    assert (v[links[:, 0], 1] < -0.3).all()
+    assert (v[links[:, 1], 1] >= -0.3).all()
+
+
+def test_soft_silhouette_covers_body():
+    from ipercore_tpu.tools.deformers import soft_silhouette
+    from ipercore_tpu.models import smpl as smpl_mod
+
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    sil = np.asarray(soft_silhouette(model.v_template, jnp.asarray([1.2, 0, 0]), 64))
+    assert sil.shape == (64, 64)
+    assert sil.max() > 0.9 and sil[0, 0] < 0.1
