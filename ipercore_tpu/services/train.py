@@ -1,0 +1,130 @@
+"""Full training service: data-parallel LWG-GAN training over a device mesh.
+
+Rebuilds `iPERCore/services/train.py:33-252` + `scripts/train/dist_train.py`:
+the reference launches one torch process per GPU with NCCL DDP; here a single
+JAX controller pjit-shards the batch over all local devices (multi-host via
+`jax.distributed.initialize` is transparent to this code). Wall-clock-periodic
+checkpointing mirrors `save_latest_freq_s` (`train.py:181-184`); `net_iter_*`
+checkpoint naming and latest-iteration auto-resume mirror
+`trainers/base.py:76-94` + `options_train.py:34-53`.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ipercore_tpu.services.meta_info import checkpoints_dir
+from ipercore_tpu.utils.checkpoint import (
+    find_latest_iter,
+    load_params,
+    save_train_ckpt,
+)
+from ipercore_tpu.utils.logging import MetricsLogger
+
+
+def train(opt, max_iters: Optional[int] = None) -> dict:
+    """Run (or resume) training. Returns the last metrics dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.data import build_dataset
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models import flow_composition as fc
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.models.networks import build_generator, build_discriminator
+    from ipercore_tpu.models.networks import criterions as C
+    from ipercore_tpu.parallel.mesh import make_mesh
+    from ipercore_tpu.trainers import lwg_trainer as T
+
+    S = int(opt.image_size)
+    ns = int(opt.num_source)
+    nt = int(opt.get("time_step", 2))
+
+    smpl_path = opt.get("smpl_model", "")
+    model = (smpl_mod.load_model(smpl_path)
+             if smpl_path and os.path.exists(smpl_path)
+             else smpl_mod.synthetic_model())
+    assets = load_assets(model)
+    comp = fc.make_composer(model, assets, image_size=S,
+                            out_dilate_ks=int(opt.get("out_dilate_ks", 51)))
+    gen = build_generator(opt.get("gen_name", "AttLWB-SPADE"), opt.Generator,
+                          temporal=bool(opt.get("temporal", False)))
+    dis = build_discriminator(opt.get("dis_name", "patch_global_body_head"),
+                              opt.Discriminator,
+                              use_aug_bg=bool(opt.get("aug_bg", False)))
+    vgg = C.VGGFeatures()
+    vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    face = C.SphereFaceFeatures()
+    face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
+
+    tr = opt.Train
+    cfg = T.TrainConfig(
+        lambda_rec=float(tr.lambda_rec), lambda_tsf=float(tr.lambda_tsf),
+        lambda_face=float(tr.lambda_face), lambda_mask=float(tr.lambda_mask),
+        lambda_mask_smooth=float(tr.lambda_mask_smooth),
+        lambda_d_prob=float(tr.lambda_D_prob),
+        lr_g=float(tr.lr_G), lr_d=float(tr.lr_D),
+        use_face=bool(tr.use_face),
+        temporal=bool(opt.get("temporal", False)),
+    )
+    state = T.create_train_state(jax.random.PRNGKey(0), gen, dis, comp, cfg, ns=ns, nt=nt)
+
+    # resume — `options_train.py:34-53`
+    ckpt_dir = checkpoints_dir(opt.output_dir, opt.model_id)
+    start_iter, g_path = find_latest_iter(ckpt_dir, "G")
+    if g_path:
+        params_G = load_params(g_path, like=state.params_G)
+        _, d_path = find_latest_iter(ckpt_dir, "D")
+        params_D = load_params(d_path, like=state.params_D) if d_path else state.params_D
+        state = state._replace(params_G=params_G, params_D=params_D,
+                               step=jnp.asarray(start_iter, jnp.int32))
+
+    mesh = make_mesh("data")
+    n_dev = mesh.devices.size
+    step_fn = T.make_sharded_train_step(
+        comp, gen, dis, vgg, vgg_params, face, face_params, cfg, mesh, ns=ns)
+
+    ds = build_dataset(
+        opt.get("dataset_mode", "ProcessedVideo"),
+        dataset_dirs=list(opt.get("dataset_dirs", [])),
+        image_size=S, num_source=ns, time_step=nt,
+    )
+    batch_size = max(int(opt.get("batch_size", 1)) * n_dev, n_dev)
+    it = ds.iterate(batch_size)
+
+    logger = MetricsLogger(os.path.join(ckpt_dir, "train_log.jsonl"))
+    total = max_iters if max_iters is not None else int(tr.get("total_iters", 400_000))
+    save_every_s = float(tr.get("save_latest_freq_s", 300.0))
+    print_every_s = float(tr.get("print_freq_s", 30.0))
+    last_save = last_print = time.time()
+
+    metrics = {}
+    for i in range(int(state.step), total):
+        batch = next(it)
+        state, metrics = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()
+                                         if k in ("images", "smpls", "masks", "bg")})
+        now = time.time()
+        if now - last_print > print_every_s:
+            logger.log(step=i, **{k: float(v) for k, v in metrics.items()})
+            last_print = now
+        if now - last_save > save_every_s:
+            save_train_ckpt(ckpt_dir, i, jax.device_get(state.params_G),
+                            jax.device_get(state.params_D))
+            last_save = now
+
+    save_train_ckpt(ckpt_dir, total, jax.device_get(state.params_G),
+                    jax.device_get(state.params_D))
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def main(argv=None):  # pragma: no cover - CLI shim
+    from ipercore_tpu.services.options import parse_args
+
+    return train(parse_args(argv))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -76,14 +76,28 @@ class Preprocessor:
     """The stage pipeline — `Preprocessor` (`preprocessors.py:21`)."""
 
     def __init__(self, image_size: int = 512, use_smplify: bool = True,
-                 find_front_size: int = 256):
+                 find_front_size: int = 256, body_model=None, smoke: bool = False):
+        """`smoke=True` shrinks every model (tiny body mesh, no SMPLify, small
+        nets) so the full stage pipeline runs in seconds — used by hermetic
+        tests and dry runs; the stage structure and manifest are identical."""
         self.image_size = image_size
-        self.use_smplify = use_smplify
-        self.find_front_size = find_front_size
+        self.smoke = smoke
+        self.use_smplify = use_smplify and not smoke
+        self.find_front_size = 128 if smoke else find_front_size
+        self._body_model = body_model
         self._pose2d = None
         self._spin = None
         self._mattor = None
         self._inpaintor = None
+
+    @property
+    def body_model(self):
+        if self._body_model is None:
+            from ipercore_tpu.models import smpl as smpl_mod
+
+            self._body_model = (smpl_mod.synthetic_model(nu=20, nv=18)
+                                if self.smoke else smpl_mod.synthetic_model())
+        return self._body_model
 
     # lazy builders (each model compiles on first use)
     @property
@@ -115,7 +129,8 @@ class Preprocessor:
         if self._inpaintor is None:
             from ipercore_tpu.tools.inpaintors import build_background_inpaintors
 
-            self._inpaintor = build_background_inpaintors()
+            self._inpaintor = build_background_inpaintors(
+                control_size=64 if self.smoke else 256)
         return self._inpaintor
 
     # ------------------------------------------------------------------
@@ -160,20 +175,25 @@ class Preprocessor:
             import jax
             import jax.numpy as jnp
 
-            from ipercore_tpu.models import smpl as smpl_mod
             from ipercore_tpu.tools.pose3d import smplify_refine
 
-            spin_in = np.asarray(
-                jax.image.resize(jnp.asarray(imgs), (len(imgs), 224, 224, 3), "linear"))
-            theta = self.spin.run(spin_in)
-            if self.use_smplify:
-                kps, scores, valid = self.pose2d.run(spin_in)
-                from ipercore_tpu.tools.pose2d import body25_to_cocoplus
+            if self.smoke:
+                # default camera-centered thetas: keeps the pipeline exact in
+                # structure without the heavy nets
+                theta = np.zeros((len(imgs), 85), np.float32)
+                theta[:, 0] = 1.1
+            else:
+                spin_in = np.asarray(
+                    jax.image.resize(jnp.asarray(imgs), (len(imgs), 224, 224, 3), "linear"))
+                theta = self.spin.run(spin_in)
+                if self.use_smplify:
+                    kps, scores, valid = self.pose2d.run(spin_in)
+                    from ipercore_tpu.tools.pose2d import body25_to_cocoplus
 
-                kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
-                model = smpl_mod.synthetic_model()
-                theta = np.asarray(smplify_refine(
-                    model, jnp.asarray(theta), jnp.asarray(kps19), jnp.asarray(conf19)))
+                    kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
+                    theta = np.asarray(smplify_refine(
+                        self.body_model, jnp.asarray(theta),
+                        jnp.asarray(kps19), jnp.asarray(conf19)))
             info.set_array("smpls", theta.astype(np.float32))
             info.mark_run("pose3d")
             info.serialize()
@@ -201,8 +221,7 @@ class Preprocessor:
         if not info.has_run("inpaintor"):
             if is_src:
                 masks = info.get_array("masks")  # (N, S, S, 1) bg=1
-                human = 1.0 - masks
-                # median background over frames where pixels are visible
+                # mean background over frames where pixels are visible
                 vis = masks
                 acc = (imgs * vis).sum(0) / np.maximum(vis.sum(0), 1e-5)
                 hole = (vis.sum(0) < 0.5).astype(np.float32)
@@ -221,7 +240,7 @@ class Preprocessor:
         from ipercore_tpu.models import smpl as smpl_mod
         from ipercore_tpu.ops import rasterizer as rz
 
-        model = smpl_mod.synthetic_model()
+        model = self.body_model
         d = smpl_mod.get_details(model, jnp.asarray(theta))
         _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, self.image_size)
         return np.asarray((fim >= 0))[..., None].astype(np.float32)
@@ -234,8 +253,10 @@ class Preprocessor:
         from ipercore_tpu.models.mesh import load_assets
         from ipercore_tpu.ops import rasterizer as rz
 
-        model = smpl_mod.synthetic_model()
-        assets = load_assets(model)
+        model = self.body_model
+        assets = load_assets(
+            model, uv_map_path="/nonexistent" if self.smoke else None,
+            part_path="/nonexistent" if self.smoke else None)
         d = smpl_mod.get_details(model, jnp.asarray(theta))
         size = self.find_front_size if self.find_front_size % 128 == 0 else 256
         _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, size)
