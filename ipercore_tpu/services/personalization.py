@@ -87,9 +87,16 @@ def personalize(opt) -> str:
     from ipercore_tpu.trainers import lwg_trainer as T
 
     smpl_path = opt.get("smpl_model", "")
-    model = smpl_mod.load_model(smpl_path) if smpl_path and os.path.exists(smpl_path) \
-        else smpl_mod.synthetic_model()
-    assets = load_assets(model)
+    if smpl_path and os.path.exists(smpl_path):
+        model = smpl_mod.load_model(smpl_path)
+    elif opt.get("smoke_model", False):
+        model = smpl_mod.synthetic_model(nu=20, nv=18)
+    else:
+        model = smpl_mod.synthetic_model()
+    if opt.get("smoke_model", False):
+        assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    else:
+        assets = load_assets(model)
     S = int(opt.image_size)
     comp = fc.make_composer(model, assets, image_size=S,
                             out_dilate_ks=int(opt.get("out_dilate_ks", 51)))

@@ -109,9 +109,7 @@ class ProcessInfo:
             ids.append(ids[len(ids) % max(len(ids), 1)])
         ids = ids[:num_source]
 
-        offsets = self.get_array("offsets")
-        if offsets is None:
-            offsets = np.zeros((6890, 3), np.float32)
+        offsets = self.get_array("offsets")  # None when the deform stage didn't run
         links = self.get_array("links_ids")
         out = {
             "src_ids": ids,

@@ -36,9 +36,15 @@ def build_runtime(opt, part_masks: Optional[list] = None):
     smpl_path = opt.get("smpl_model", "")
     if smpl_path and os.path.exists(smpl_path):
         model = smpl_mod.load_model(smpl_path)
+    elif opt.get("smoke_model", False):
+        # tiny stand-in mesh for hermetic tests / dry runs
+        model = smpl_mod.synthetic_model(nu=20, nv=18)
     else:
         model = smpl_mod.synthetic_model()
-    assets = load_assets(model)
+    if opt.get("smoke_model", False):
+        assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    else:
+        assets = load_assets(model)
     comp = fc.make_composer(
         model, assets,
         image_size=int(opt.image_size),
@@ -131,7 +137,11 @@ def load_source_cache(opt, comp, gen, params, src_meta, proc_dir: Optional[str] 
     if src_meta.bg_path and os.path.exists(src_meta.bg_path):
         bg_img = jnp.asarray(vid.load_image(src_meta.bg_path, size=S))[None]
 
-    offsets = src["offsets"].astype(np.float32)
+    V = comp.model.v_template.shape[0]
+    offsets = src["offsets"]
+    if offsets is None or offsets.shape[0] != V:
+        offsets = np.zeros((V, 3), np.float32)
+    offsets = offsets.astype(np.float32)
     links = src["links_ids"]
     links_ids = jnp.asarray(links) if links is not None else None
 

@@ -57,7 +57,11 @@ def run_sil2smpl_offsets(opt, info, n_steps: int = 500, lr: float = 1e-4,
     """
     smpls = info.get_array("smpls")
     masks = info.get_array("masks")
-    model = smpl_mod.synthetic_model()
+    if getattr(opt, "get", None) and opt.get("smoke_model", False):
+        model = smpl_mod.synthetic_model(nu=20, nv=18)
+        n_steps = min(n_steps, 10)
+    else:
+        model = smpl_mod.synthetic_model()
     V = model.v_template.shape[0]
     if smpls is None or masks is None or len(smpls) == 0:
         return np.zeros((V, 3), np.float32)

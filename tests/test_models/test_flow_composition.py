@@ -12,7 +12,7 @@ BS, NS, NT = 1, 2, 2
 
 @pytest.fixture(scope="module")
 def composer():
-    model = smpl_mod.synthetic_model()
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
     assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     return fc.make_composer(model, assets, image_size=S, out_dilate_ks=11)
 
@@ -30,10 +30,10 @@ def test_render_smpl_info_shapes(composer):
     theta = _theta(NS)
     d = smpl_mod.get_details(composer.model, theta)
     info = fc.render_smpl_info(composer, d["verts"], d["cam"], use_morph=True)
-    assert info["f2pts"].shape == (NS, 13776, 3, 2)
+    assert info["f2pts"].shape == (NS, composer.model.faces.shape[0], 3, 2)
     assert info["fim"].shape == (NS, S, S)
     assert info["cond"].shape == (NS, S, S, 3)
-    assert info["vis_mask"].shape == (NS, 13776)
+    assert info["vis_mask"].shape == (NS, composer.model.faces.shape[0])
     assert info["confidant_sil"].shape == (NS, S, S, 1)
     vis = np.asarray(info["vis_mask"])
     assert 0 < vis.sum() < vis.size

@@ -21,7 +21,7 @@ CFG = {
 
 @pytest.fixture(scope="module")
 def rig():
-    model = smpl_mod.synthetic_model()
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
     assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     comp = fc.make_composer(model, assets, image_size=S, out_dilate_ks=11)
     gen = build_generator("AttLWB-SPADE", CFG)
@@ -30,7 +30,7 @@ def rig():
     src = jnp.zeros((1, NS, S, S, 6))
     tsf = jnp.zeros((1, 1, S, S, 6))
     Tst = jnp.zeros((1, 1, NS, S, S, 2))
-    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst)
+    params = jax.jit(lambda r: gen.init(r, bg, src, tsf, Tst))(jax.random.PRNGKey(0))
     return comp, gen, params
 
 
@@ -48,10 +48,10 @@ def test_setup_source_and_synthesize(rig):
     rng = np.random.RandomState(1)
     src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
     src_smpl = _theta(NS).reshape(1, NS, 85)
-    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    cache = jax.jit(lambda p, si, ss: imit.setup_source(comp, gen, p, si, ss))(params, src_img, src_smpl)
     assert cache.uv_img.shape == (1, S, S, 3)
     assert cache.bg_img.shape == (1, S, S, 3)
-    assert cache.src_f2pts.shape == (NS, 13776, 3, 2)
+    assert cache.src_f2pts.shape == (NS, comp.model.faces.shape[0], 3, 2)
 
     tgt = _theta(3, seed=2)
     preds, masks = imit.synthesize_frames(comp, gen, params, cache, tgt)
@@ -68,12 +68,12 @@ def test_synthesize_temporal(rig):
     tsf = jnp.zeros((1, 2, S, S, 6))
     Tst = jnp.zeros((1, 2, NS, S, S, 2))
     Ttt = jnp.zeros((1, 1, S, S, 2))
-    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst, Ttt)
+    params = jax.jit(lambda r: gen.init(r, bg, src, tsf, Tst, Ttt))(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(3)
     src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
     src_smpl = _theta(NS).reshape(1, NS, 85)
-    cache = imit.setup_source(comp, gen, params, src_img, src_smpl)
+    cache = jax.jit(lambda p, si, ss: imit.setup_source(comp, gen, p, si, ss))(params, src_img, src_smpl)
     tgt = _theta(3, seed=4)
     preds, masks = imit.synthesize_frames_temporal(comp, gen, params, cache, tgt)
     assert preds.shape == (3, S, S, 3)
@@ -114,7 +114,7 @@ def test_swapper_merge(rig):
     upper = part_face_mask(comp.assets, ["upper"])
     rest = ~upper
     merged = imit.merge_source_caches(comp, caches, [rest, upper])
-    assert merged.src_f2pts.shape == (2, 13776, 3, 2)
+    assert merged.src_f2pts.shape == (2, comp.model.faces.shape[0], 3, 2)
     assert merged.uv_img.shape == (1, S, S, 3)
     preds, _ = imit.synthesize_frames(comp, gen, params, merged, _theta(2, seed=6))
     assert preds.shape == (2, S, S, 3)

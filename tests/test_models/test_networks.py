@@ -37,8 +37,8 @@ def test_generator_forward_shapes(name):
     rng = np.random.RandomState(0)
     bg, src, tsf, Tst, Ttt = _gen_inputs(rng)
     gen = build_generator(name, CFG)
-    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst)
-    out = gen.apply(params, bg, src, tsf, Tst)
+    params = jax.jit(lambda r: gen.init(r, bg, src, tsf, Tst))(jax.random.PRNGKey(0))
+    out = jax.jit(gen.apply)(params, bg, src, tsf, Tst)
     bg_img, tsf_imgs, tsf_masks = out
     assert bg_img.shape == (BS, 1, S, S, 3)
     assert tsf_imgs.shape == (BS, NT, S, S, 3)
@@ -51,7 +51,7 @@ def test_front_generator_no_bg():
     rng = np.random.RandomState(1)
     _, src, tsf, Tst, _ = _gen_inputs(rng)
     gen = build_generator("AttLWB-Front", CFG)
-    params = gen.init(jax.random.PRNGKey(0), None, src, tsf, Tst)
+    params = jax.jit(lambda r: gen.init(r, None, src, tsf, Tst))(jax.random.PRNGKey(0))
     bg_img, tsf_imgs, tsf_masks = gen.apply(params, None, src, tsf, Tst)
     assert bg_img is None
     assert tsf_imgs.shape == (BS, NT, S, S, 3)
@@ -61,7 +61,7 @@ def test_temporal_generator_uses_ttt():
     rng = np.random.RandomState(2)
     bg, src, tsf, Tst, Ttt = _gen_inputs(rng)
     gen = build_generator("AttLWB-SPADE", CFG, temporal=True)
-    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst, Ttt)
+    params = jax.jit(lambda r: gen.init(r, bg, src, tsf, Tst, Ttt))(jax.random.PRNGKey(0))
     _, tsf_imgs, _ = gen.apply(params, bg, src, tsf, Tst, Ttt)
     assert tsf_imgs.shape == (BS, NT, S, S, 3)
 
@@ -72,7 +72,7 @@ def test_generator_full_outputs():
     gen = build_generator("AttLWB-SPADE", CFG)
     # init must trace the full path so SIDNet decoder params exist (trainers
     # always init with only_tsf=False for this reason)
-    params = gen.init(jax.random.PRNGKey(0), bg, src, tsf, Tst, None, False)
+    params = jax.jit(lambda r: gen.init(r, bg, src, tsf, Tst, None, False))(jax.random.PRNGKey(0))
     out = gen.apply(params, bg, src, tsf, Tst, None, False)
     bg_img, src_imgs, src_masks, tsf_imgs, tsf_masks = out
     assert src_imgs.shape == (BS, NS, S, S, 3)
@@ -82,7 +82,7 @@ def test_generator_full_outputs():
 def test_bgnet_standalone():
     net = ResNetInpaintor(num_filters=(16, 32, 32, 64), n_res_block=2)
     x = jnp.zeros((2, S, S, 4))
-    params = net.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
     out = net.apply(params, x)
     assert out.shape == (2, S, S, 3)
 
@@ -99,7 +99,7 @@ def test_discriminator_heads(name, n_heads):
     body = jnp.asarray([[-0.5, -0.5, 0.5, 0.5]] * BS, jnp.float32)
     head = jnp.asarray([[-0.2, -0.8, 0.2, -0.4]] * BS, jnp.float32)
     dis = build_discriminator(name, DIS_CFG)
-    params = dis.init(jax.random.PRNGKey(0), x, None, body, head)
+    params = jax.jit(lambda r: dis.init(r, x, None, body, head))(jax.random.PRNGKey(0))
     outs = dis.apply(params, x, None, body, head)
     assert len(outs) == n_heads
     for o in outs:
@@ -111,7 +111,7 @@ def test_discriminator_aug_bg_head():
     x = jnp.asarray(rng.randn(BS, S, S, 6), jnp.float32)
     bg = jnp.asarray(rng.randn(BS, S, S, 6), jnp.float32)
     dis = build_discriminator("patch_global", DIS_CFG, use_aug_bg=True)
-    params = dis.init(jax.random.PRNGKey(0), x, bg)
+    params = jax.jit(lambda r: dis.init(r, x, bg))(jax.random.PRNGKey(0))
     outs = dis.apply(params, x, bg)
     assert len(outs) == 2
 
@@ -124,13 +124,13 @@ def test_criterions():
     b = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
 
     vgg = C.VGGFeatures(slices=((8, 8), (16,), (16,), (32,), (32,)))
-    vp = vgg.init(jax.random.PRNGKey(0), a)
+    vp = jax.jit(vgg.init)(jax.random.PRNGKey(0), a)
     loss = C.perceptual_loss(vp, vgg.apply, a, b)
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert float(C.perceptual_loss(vp, vgg.apply, a, a)) < 1e-6
 
     face = C.SphereFaceFeatures()
-    fp = face.init(jax.random.PRNGKey(0), jnp.zeros((2, 112, 96, 3)))
+    fp = jax.jit(face.init)(jax.random.PRNGKey(0), jnp.zeros((2, 112, 96, 3)))
     fl = C.face_loss(fp, face.apply, a, b)
     assert np.isfinite(float(fl))
 

@@ -14,7 +14,7 @@ from ipercore_tpu.services.meta_info import MetaProcess
 from ipercore_tpu.services.process_info import ProcessInfo
 from ipercore_tpu.utils import video as vid
 
-S = 64
+S = 32
 
 
 @pytest.fixture(scope="module")
@@ -33,8 +33,9 @@ def opt(tmp_path_factory):
         "TSFNet": {"num_filters": [8, 16, 32], "n_res_block": 1},
     }
     cfg.Discriminator = {"ndf": 8, "n_layers": 2, "max_nf_mult": 8, "use_sigmoid": False}
-    cfg.Train.niters_or_epochs_no_decay = 2
+    cfg.Train.niters_or_epochs_no_decay = 1
     cfg.preproc_smoke = True
+    cfg.smoke_model = True
     # synthetic inputs: a "video" of noise frames for src and ref
     rng = np.random.RandomState(0)
     for name, n in [("person_a", 4), ("dance_b", 5)]:
@@ -48,10 +49,18 @@ def opt(tmp_path_factory):
     return cfg
 
 
-def test_preprocess_creates_manifest(opt):
+@pytest.fixture(scope="module")
+def pipeline(opt):
+    """Run preprocess + personalize once for all tests in this module."""
     from ipercore_tpu.services.preprocess import preprocess
+    from ipercore_tpu.services.personalization import personalize
 
     preprocess(opt)
+    ckpt = personalize(opt)
+    return {"ckpt": ckpt}
+
+
+def test_preprocess_creates_manifest(opt, pipeline):
     proc = MetaProcess("person_a", opt.output_dir).processed_dir
     info = ProcessInfo.deserialize(proc)
     assert info.check_has_been_processed()
@@ -62,16 +71,16 @@ def test_preprocess_creates_manifest(opt):
     assert len(ref.read_ref_info()["smpls"]) == 5
 
 
-def test_personalize_writes_checkpoint(opt):
+def test_personalize_writes_checkpoint(opt, pipeline):
     from ipercore_tpu.services.personalization import personalize
 
-    path = personalize(opt)
+    path = pipeline["ckpt"]
     assert os.path.exists(path)
     # second call is a no-op skip (`personalization.py:179`)
     assert personalize(opt) == path
 
 
-def test_imitate_produces_frames(opt):
+def test_imitate_produces_frames(opt, pipeline):
     from ipercore_tpu.services.run_imitator import imitate
 
     outputs = imitate(opt)
@@ -86,7 +95,7 @@ def test_imitate_produces_frames(opt):
     assert np.isfinite(img).all()
 
 
-def test_novel_view_service(opt):
+def test_novel_view_service(opt, pipeline):
     from ipercore_tpu.services.run_viewer import novel_view
 
     opt2 = opt

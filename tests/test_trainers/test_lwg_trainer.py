@@ -27,15 +27,15 @@ DIS_CFG = {"ndf": 8, "n_layers": 2, "max_nf_mult": 8, "use_sigmoid": False}
 
 @pytest.fixture(scope="module")
 def rig():
-    model = smpl_mod.synthetic_model()
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
     assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     comp = fc.make_composer(model, assets, image_size=S, out_dilate_ks=5)
     gen = build_generator("AttLWB-SPADE", CFG)
     dis = build_discriminator("patch_global_body_head", DIS_CFG)
     vgg = C.VGGFeatures(slices=((4,), (8,), (8,), (8,), (8,)))
-    vgg_params = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
     face = C.SphereFaceFeatures()
-    face_params = face.init(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
+    face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
     cfg = T.TrainConfig()
     state = T.create_train_state(jax.random.PRNGKey(0), gen, dis, comp, cfg, ns=NS, nt=NT)
     return comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state
@@ -66,8 +66,11 @@ def test_bboxes_from_kps():
 def test_single_device_train_step(rig):
     comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state = rig
     batch = _batch()
-    new_state, metrics = T.train_step(
-        state, batch, comp, gen, dis, vgg, vgg_params, face, face_params, cfg, ns=NS)
+    import functools
+    step = jax.jit(functools.partial(
+        T.train_step, comp=comp, generator=gen, discriminator=dis, vgg=vgg,
+        vgg_params=vgg_params, face=face, face_params=face_params, cfg=cfg, ns=NS))
+    new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
