@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipercore_tpu.utils.checkpoint import (
+    save_params, load_params, find_latest_iter, save_train_ckpt, torch_conv_to_flax,
+)
+
+
+def test_params_roundtrip_preserves_structure(tmp_path):
+    params = {"params": {"a": {"kernel": np.ones((3, 3, 2, 4), np.float32)},
+                         "b": {"bias": np.zeros((4,), np.float32)}}}
+    p = str(tmp_path / "ck.npz")
+    save_params(p, params)
+    back = load_params(p, like=params)
+    assert set(back["params"].keys()) == {"a", "b"}
+    np.testing.assert_array_equal(np.asarray(back["params"]["a"]["kernel"]), 1.0)
+
+
+def test_find_latest_iter(tmp_path):
+    d = str(tmp_path)
+    save_train_ckpt(d, 100, {"w": np.zeros(2)}, {"w": np.zeros(2)})
+    save_train_ckpt(d, 250, {"w": np.ones(2)}, {"w": np.ones(2)})
+    it, path = find_latest_iter(d, "G")
+    assert it == 250 and path.endswith("net_iter_250_id_G.npz")
+    assert find_latest_iter(str(tmp_path / "nope"), "G") == (-1, None)
+
+
+def test_torch_conv_layout():
+    w = np.arange(2 * 3 * 5 * 7).reshape(2, 3, 5, 7).astype(np.float32)  # OIHW
+    f = torch_conv_to_flax(w)
+    assert f.shape == (5, 7, 3, 2)  # HWIO
+    # spot-check one element
+    assert f[1, 2, 1, 0] == w[0, 1, 1, 2]
+    t = torch_conv_to_flax(np.zeros((3, 4, 4, 4), np.float32), transpose=True)
+    assert t.shape == (4, 4, 4, 3)
+
+
+def test_generator_converter_places_weights():
+    from ipercore_tpu.models.networks import build_generator
+    from ipercore_tpu.utils.torch_convert import convert_generator
+
+    cfg = {
+        "BGNet": {"num_filters": [8, 16, 16, 32], "n_res_block": 2},
+        "SIDNet": {"num_filters": [8, 16, 32], "n_res_block": 1},
+        "TSFNet": {"num_filters": [8, 16, 32], "n_res_block": 1},
+    }
+    gen = build_generator("AttLWB-SPADE", cfg)
+    S, ns, nt = 32, 2, 1
+    params = jax.jit(lambda r: gen.init(
+        r, jnp.zeros((1, 1, S, S, 4)), jnp.zeros((1, ns, S, S, 6)),
+        jnp.zeros((1, nt, S, S, 6)), jnp.zeros((1, nt, ns, S, S, 2)), None, False,
+    ))(jax.random.PRNGKey(0))
+
+    # fake torch state dict entries matching our shapes (OIHW layout)
+    tree = params["params"] if "params" in params else params
+    enc0 = np.asarray(tree["src_net"]["encoders"]["Conv_0"]["kernel"])  # (3,3,6,8)
+    sd = {
+        "src_net.encoders.layers.0.0.weight":
+            np.transpose(np.full_like(enc0, 7.0), (3, 2, 0, 1)),
+        "src_net.encoders.layers.0.0.bias": np.zeros(enc0.shape[-1], np.float32),
+        "enc_attlwbs.0.fq.weight": np.transpose(
+            np.full_like(np.asarray(tree["enc_fusion_0"]["fq"]["kernel"]), 3.0), (3, 2, 0, 1)),
+        "enc_attlwbs.0.fq.bias": np.zeros(
+            np.asarray(tree["enc_fusion_0"]["fq"]["bias"]).shape, np.float32),
+    }
+    out, report = convert_generator(sd, params)
+    otree = out["params"] if "params" in out else out
+    np.testing.assert_array_equal(
+        np.asarray(otree["src_net"]["encoders"]["Conv_0"]["kernel"]), 7.0)
+    np.testing.assert_array_equal(
+        np.asarray(otree["enc_fusion_0"]["fq"]["kernel"]), 3.0)
+    assert not any(r.startswith("SHAPE") for r in report), report
