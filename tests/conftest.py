@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: this box has a single CPU core, so XLA compiles
+# dominate test wall-clock; the cache removes recompiles both across runs and
+# for re-jitted-but-identical programs within one run.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_compilation")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
