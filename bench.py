@@ -17,7 +17,7 @@ import numpy as np
 
 V100_BASELINE_FPS = 4.0
 SIZE = 512
-FRAMES_PER_BATCH = 8
+FRAMES_PER_BATCH = 16
 WARMUP_BATCHES = 2
 BENCH_BATCHES = 5
 NS = 2
@@ -66,7 +66,8 @@ def main():
 
     @jax.jit
     def run(params, cache, tgt):
-        return imit.synthesize_frames(comp, gen, params, cache, tgt)
+        return imit.synthesize_frames(comp, gen, params, cache, tgt,
+                                      compute_dtype=jnp.bfloat16)
 
     def make_batch(seed):
         r = np.random.RandomState(seed)

@@ -90,6 +90,7 @@ def render_smpl_info(
     masks: Optional[jnp.ndarray] = None,
     use_morph: bool = False,
     get_uv_info: bool = True,
+    need_vis: bool = True,
     raster_chunk: int | None = None,
 ) -> dict:
     """Render per-frame geometry products — `add_rendered_f2verts_fim_wim`
@@ -111,18 +112,20 @@ def render_smpl_info(
     f2pts, fim, wim = rz.render_fim_wim(verts, cam, comp.model.faces, S, chunk=raster_chunk)
     cond = rz.encode_fim(fim, comp.assets.map_fn)  # (N, S, S, 3)
 
-    vis = rz.visible_face_mask(fim, comp.model.faces.shape[0])
-    vis = rz.expand_mask_by_knn(vis, comp.assets.face_k_nearest)
-    only_vis_f2pts = rz.select_f2pts(f2pts, vis)
-
     info = {
         "f2pts": f2pts,
         "fim": fim,
         "wim": wim,
         "cond": cond,
-        "vis_mask": vis,
-        "only_vis_f2pts": only_vis_f2pts,
     }
+
+    # Visibility products cost two big scatters per frame; target frames in the
+    # default (only_vis=False) inference path never consume them.
+    if need_vis or comp.only_vis or use_morph or get_uv_info:
+        vis = rz.visible_face_mask(fim, comp.model.faces.shape[0])
+        vis = rz.expand_mask_by_knn(vis, comp.assets.face_k_nearest)
+        info["vis_mask"] = vis
+        info["only_vis_f2pts"] = rz.select_f2pts(f2pts, vis)
 
     # Body silhouette from the condition map: background color is black, so any
     # non-zero channel = body (reference uses 1 - cond[:, -1:], with its
@@ -140,7 +143,7 @@ def render_smpl_info(
         # Same faces, same visibility — the UV direction reuses f2pts with the
         # UV-space raster (comp.uv_fim/uv_wim) as destination.
         info["obj_f2pts"] = f2pts
-        info["only_vis_obj_f2pts"] = only_vis_f2pts
+        info["only_vis_obj_f2pts"] = info["only_vis_f2pts"]
 
     return info
 

@@ -105,22 +105,30 @@ def make_frame_inputs(
     tgt_smpl: jnp.ndarray,
     offsets: jnp.ndarray | float = 0.0,
     links_ids: Optional[jnp.ndarray] = None,
+    tst_stride: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Per-frame-batch geometry — `make_inputs_for_tsf` (`imitator.py:259-327`).
 
     Args:
         tgt_smpl: (T, 85) target SMPL batch.
+        tst_stride: subsample factor for the Tst feature-warping flow. The
+            finest feature warp in the generator runs at S/2, so computing
+            Tst at S/2 (stride 2) loses nothing downstream and quarters the
+            flow-gather cost; default: 2 when S >= 512, else 1.
 
     Returns:
-        tsf_inputs (T, S, S, 6), Tst (T, ns, S, S, 2), ref_info.
+        tsf_inputs (T, S, S, 6), Tst (T, ns, S/stride, S/stride, 2), ref_info.
     """
     T = tgt_smpl.shape[0]
     ns = cache.src_f2pts.shape[0]
     S = comp.image_size
+    if tst_stride is None:
+        tst_stride = 2 if S >= 512 else 1
 
     details = smpl_mod.get_details(comp.model, tgt_smpl, offsets, links_ids)
     ref_info = fc.render_smpl_info(
-        comp, details["verts"], details["cam"], use_morph=False, get_uv_info=False)
+        comp, details["verts"], details["cam"], use_morph=False, get_uv_info=False,
+        need_vis=False)
 
     # Tuv2t warp of the UV image + target condition.
     f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (T,) + comp.assets.f2uvs.shape)
@@ -131,12 +139,15 @@ def make_frame_inputs(
     syn = grid_sample(uv_rep, Tuv2t)
     tsf_inputs = jnp.concatenate([syn, ref_info["cond"]], axis=-1)  # (T, S, S, 6)
 
-    # Tst: every (source, frame) pair.
+    # Tst: every (source, frame) pair, at the feature-warp resolution.
+    fim = ref_info["fim"][:, ::tst_stride, ::tst_stride]
+    wim = ref_info["wim"][:, ::tst_stride, ::tst_stride]
+    Sf = fim.shape[1]
     src_rep = jnp.broadcast_to(
         cache.src_f2pts[None], (T,) + cache.src_f2pts.shape).reshape(T * ns, -1, 3, 2)
-    fim_rep = jnp.repeat(ref_info["fim"], ns, axis=0)
-    wim_rep = jnp.repeat(ref_info["wim"], ns, axis=0)
-    Tst = rz.cal_bc_transform(src_rep, fim_rep, wim_rep).reshape(T, ns, S, S, 2)
+    fim_rep = jnp.repeat(fim, ns, axis=0)
+    wim_rep = jnp.repeat(wim, ns, axis=0)
+    Tst = rz.cal_bc_transform(src_rep, fim_rep, wim_rep).reshape(T, ns, Sf, Sf, 2)
 
     return tsf_inputs, Tst, ref_info
 
@@ -149,12 +160,15 @@ def synthesize_frames(
     tgt_smpl: jnp.ndarray,
     offsets: jnp.ndarray | float = 0.0,
     links_ids: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Synthesize a batch of frames — the hot path (`Imitator.inference:328` +
     `forward:384`, frame-batched instead of frame-serial).
 
     Args:
         tgt_smpl: (T, 85).
+        compute_dtype: optional lower precision (jnp.bfloat16) for the
+            generator compute — geometry/flows stay f32; outputs cast back.
 
     Returns:
         preds (T, S, S, 3) composited frames in [-1, 1];
@@ -170,8 +184,20 @@ def synthesize_frames(
     enc = [rep(e) for e in cache.src_enc_outs]
     res = [rep(r) for r in cache.src_res_outs]
 
+    net_params = params
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        net_params = cast(params)
+        tsf_inputs = tsf_inputs.astype(compute_dtype)
+        enc = [e.astype(compute_dtype) for e in enc]
+        res = [r.astype(compute_dtype) for r in res]
+
     tsf_img, tsf_mask = generator.apply(
-        params, tsf_inputs, enc, res, Tst, method=generator.forward_tsf)
+        net_params, tsf_inputs, enc, res, Tst, method=generator.forward_tsf)
+    tsf_img = tsf_img.astype(jnp.float32)
+    tsf_mask = tsf_mask.astype(jnp.float32)
 
     bg = jnp.broadcast_to(cache.bg_img, (T,) + cache.bg_img.shape[1:])
     pred = tsf_mask * bg + (1.0 - tsf_mask) * tsf_img  # `imitator.py:393`

@@ -233,11 +233,15 @@ def attention_fuse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 
 
 class SelfAttentionLWB(nn.Module):
-    """Warp multi-source features, attention-fuse, modulate the tsf stream.
+    """Attention-fuse (pre-)warped source features, modulate the tsf stream.
 
     mode="spade": SPADE denorm conditioned on the fused feature
         (`attlwb_spade_resunet.py:194-252`).
     mode="adain": channel-stat AdaIN re-styling (`attlwb_adain_resunet.py:152-220`).
+
+    Warping lives in the caller when `pre_warped=True` (the generator warps all
+    same-scale features in one wide gather — fewer/larger HBM gathers); passing
+    raw features + flows still works for standalone use.
     """
 
     channel: int
@@ -245,12 +249,14 @@ class SelfAttentionLWB(nn.Module):
     temporal: bool = False
 
     @nn.compact
-    def __call__(self, tsf_x, src_x, Tst, temp_x=None, Ttt=None):
+    def __call__(self, tsf_x, src_x, Tst=None, temp_x=None, Ttt=None,
+                 pre_warped: bool = False):
         """
         Args:
             tsf_x: (bs, h, w, c1) transfer-stream feature.
-            src_x: (bs, ns, H', W', c2) per-source features.
-            Tst: (bs, ns, H, W, 2) source->target flows (full res; auto-resized).
+            src_x: (bs, ns, H', W', c2) per-source features — already warped to
+                the target pose when pre_warped=True.
+            Tst: (bs, ns, H, W, 2) flows (ignored when pre_warped).
             temp_x: optional (bs, nt, H', W', c2) temporal features.
             Ttt: optional (bs, nt, H, W, 2).
 
@@ -263,17 +269,23 @@ class SelfAttentionLWB(nn.Module):
         fk = nn.Conv(self.channel, (1, 1), name="fk")
         fv = nn.Conv(self.channel, (1, 1), name="fv")
 
-        src_flat = src_x.reshape((bs * ns,) + src_x.shape[2:])
-        flow_flat = Tst.reshape((bs * ns,) + Tst.shape[2:])
-        src_warp = warp(src_flat, flow_flat)  # (bs*ns, h, w, c2)
+        if pre_warped:
+            src_warp = src_x.reshape((bs * ns, h, w) + src_x.shape[4:])
+        else:
+            src_flat = src_x.reshape((bs * ns,) + src_x.shape[2:])
+            flow_flat = Tst.reshape((bs * ns,) + Tst.shape[2:])
+            src_warp = warp(src_flat, flow_flat)  # (bs*ns, h, w, c2)
         K = [fk(src_warp).reshape(bs, ns, h, w, self.channel)]
         V = [fv(src_warp).reshape(bs, ns, h, w, self.channel)]
 
         if self.temporal and temp_x is not None and Ttt is not None:
             nt = temp_x.shape[1]
-            temp_flat = temp_x.reshape((bs * nt,) + temp_x.shape[2:])
-            tflow = Ttt.reshape((bs * nt,) + Ttt.shape[2:])
-            temp_warp = warp(temp_flat, tflow)
+            if pre_warped:
+                temp_warp = temp_x.reshape((bs * nt, h, w) + temp_x.shape[4:])
+            else:
+                temp_flat = temp_x.reshape((bs * nt,) + temp_x.shape[2:])
+                tflow = Ttt.reshape((bs * nt,) + Ttt.shape[2:])
+                temp_warp = warp(temp_flat, tflow)
             K.append(fk(temp_warp).reshape(bs, nt, h, w, self.channel))
             V.append(fv(temp_warp).reshape(bs, nt, h, w, self.channel))
 
@@ -304,12 +316,16 @@ class FusedLWB(nn.Module):
     soft_gate: bool = False
 
     @nn.compact
-    def __call__(self, tsf_x, src_x, Tst, temp_x=None, Ttt=None):
+    def __call__(self, tsf_x, src_x, Tst=None, temp_x=None, Ttt=None,
+                 pre_warped: bool = False):
         bs, ns = src_x.shape[0], src_x.shape[1]
         h, w = tsf_x.shape[1], tsf_x.shape[2]
-        src_flat = src_x.reshape((bs * ns,) + src_x.shape[2:])
-        flow_flat = Tst.reshape((bs * ns,) + Tst.shape[2:])
-        src_warp = warp(src_flat, flow_flat).reshape(bs, ns, h, w, -1)
+        if pre_warped:
+            src_warp = src_x
+        else:
+            src_flat = src_x.reshape((bs * ns,) + src_x.shape[2:])
+            flow_flat = Tst.reshape((bs * ns,) + Tst.shape[2:])
+            src_warp = warp(src_flat, flow_flat).reshape(bs, ns, h, w, -1)
 
         if self.soft_gate:
             if self.fuse == "add":

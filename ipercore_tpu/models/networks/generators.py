@@ -176,19 +176,43 @@ class LWBGenerator(nn.Module):
         Returns:
             tsf_img (bs, h, w, 3), tsf_mask (bs, h, w, 1).
         """
+        use_temp = temp_enc_outs is not None and Ttt is not None
+
+        # Pre-warp all same-scale source features in ONE gather per scale: all
+        # fusion stages share the same (resized) flow, and wide rows make the
+        # HBM gather far more efficient than per-stage warps.
+        def prewarp(feats, flows):
+            # feats: (bs, n, h, w, c); flows: (bs, n, H, W, 2)
+            bs, n = feats.shape[0], feats.shape[1]
+            flat = feats.reshape((bs * n,) + feats.shape[2:])
+            fl = flows.reshape((bs * n,) + flows.shape[2:])
+            out = warp(flat, fl)
+            return out.reshape((bs, n) + out.shape[1:])
+
+        if self.fusion_mode != "none":
+            warped_enc = [prewarp(f, Tst) for f in src_enc_outs]
+            res_cat = jnp.concatenate(src_res_outs, axis=-1)  # (bs, ns, h, w, c*k)
+            warped_res = jnp.split(prewarp(res_cat, Tst), len(src_res_outs), axis=-1)
+            if use_temp:
+                warped_temp_enc = [prewarp(f, Ttt) for f in temp_enc_outs]
+                tres_cat = jnp.concatenate(temp_res_outs, axis=-1)
+                warped_temp_res = jnp.split(prewarp(tres_cat, Ttt), len(temp_res_outs), axis=-1)
+
         x = tsf_inputs
         enc_outs = []
         for i, conv in enumerate(self.tsf_enc_convs):
             x = nn.relu(conv(x))
             if self.fusion_mode != "none":
-                temp_x = temp_enc_outs[i] if (temp_enc_outs is not None and Ttt is not None) else None
-                x = self.enc_fusions[i](x, src_enc_outs[i], Tst, temp_x=temp_x, Ttt=Ttt)
+                temp_x = warped_temp_enc[i] if use_temp else None
+                x = self.enc_fusions[i](x, warped_enc[i], Tst, temp_x=temp_x,
+                                        Ttt=Ttt, pre_warped=True)
             enc_outs.append(x)
         for i, blk in enumerate(self.tsf_res_blocks):
             x = blk(x)
             if self.fusion_mode != "none":
-                temp_x = temp_res_outs[i] if (temp_res_outs is not None and Ttt is not None) else None
-                x = self.res_fusions[i](x, src_res_outs[i], Tst, temp_x=temp_x, Ttt=Ttt)
+                temp_x = warped_temp_res[i] if use_temp else None
+                x = self.res_fusions[i](x, warped_res[i], Tst, temp_x=temp_x,
+                                        Ttt=Ttt, pre_warped=True)
         x = self.tsf_net_dec(x, enc_outs)
         return self.tsf_heads(x)
 

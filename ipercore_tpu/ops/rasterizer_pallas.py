@@ -99,9 +99,12 @@ def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
     return tile_params, ids, mask
 
 
-def _raster_kernel(params_ref, mask_ref, local_ref, zout_ref, *, size, k, chunk):
+def _raster_kernel(count_ref, params_ref, mask_ref, local_ref, zout_ref, *, size, k, chunk, gx_tiles):
     """One pixel tile: z-buffer its face list.
 
+    count_ref: (n_tiles,) int32 scalar-prefetch — faces per tile list (the
+        loop runs ceil(count/chunk) steps: tiles average ~100 faces out of
+        k=2048 capacity, so the dynamic bound cuts ~95% of the work);
     params_ref: (1, k, 16) VMEM; mask_ref: (1, k, 1) f32 VMEM (1.0 = real);
     local_ref: (TILE_H, TILE_W) int32 out — tile-local winner index or -1;
     zout_ref: (TILE_H, TILE_W) f32 out — winning depth (inf = background).
@@ -116,7 +119,8 @@ def _raster_kernel(params_ref, mask_ref, local_ref, zout_ref, *, size, k, chunk)
     py = (gy * TILE_H + row) * (2.0 / S) + (1.0 - S) / S
     px = (gx * TILE_W + col) * (2.0 / S) + (1.0 - S) / S
 
-    n_chunks = k // chunk
+    count = count_ref[gy * gx_tiles + gx]
+    n_chunks = (count + (chunk - 1)) // chunk  # dynamic trip count
 
     def body(ci, carry):
         best_z, best_i = carry
@@ -192,28 +196,33 @@ def rasterize_pallas(
 
     tile_params, ids, mask = _bin_faces(face_verts, size, k)
     maskf = mask.astype(jnp.float32)[..., None]  # (n_tiles, k, 1)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # (n_tiles,)
 
-    local, best_z = pl.pallas_call(
-        functools.partial(_raster_kernel, size=size, k=k, chunk=chunk),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(gy, gx),
         in_specs=[
-            pl.BlockSpec((1, k, 16), lambda i, j: (i * gx + j, 0, 0),
+            pl.BlockSpec((1, k, 16), lambda i, j, counts: (i * gx + j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 1), lambda i, j: (i * gx + j, 0, 0),
+            pl.BlockSpec((1, k, 1), lambda i, j, counts: (i * gx + j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, counts: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, counts: (i, j),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    local, best_z = pl.pallas_call(
+        functools.partial(_raster_kernel, size=size, k=k, chunk=chunk, gx_tiles=gx),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((S, S), jnp.int32),
             jax.ShapeDtypeStruct((S, S), jnp.float32),
         ),
         interpret=interpret,
-    )(tile_params, maskf)
+    )(counts, tile_params, maskf)
 
     # map tile-local winner -> global face id
     local_tiles = local.reshape(gy, TILE_H, gx, TILE_W).transpose(0, 2, 1, 3)

@@ -66,11 +66,14 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     vy0 = (y0i >= 0) & (y0i < H)
     vy1 = (y1i >= 0) & (y1i < H)
 
+    # coordinates/weights compute in the grid dtype (f32 for accuracy); the
+    # blend happens in the image dtype so bf16 feature chains stay bf16.
+    w = lambda a: a[..., None].astype(img.dtype)
     out = (
-        _gather_2d(img, y0i, x0i, vy0 & vx0) * (wy0 * wx0)[..., None]
-        + _gather_2d(img, y0i, x1i, vy0 & vx1) * (wy0 * wx1)[..., None]
-        + _gather_2d(img, y1i, x0i, vy1 & vx0) * (wy1 * wx0)[..., None]
-        + _gather_2d(img, y1i, x1i, vy1 & vx1) * (wy1 * wx1)[..., None]
+        _gather_2d(img, y0i, x0i, vy0 & vx0) * w(wy0 * wx0)
+        + _gather_2d(img, y0i, x1i, vy0 & vx1) * w(wy0 * wx1)
+        + _gather_2d(img, y1i, x0i, vy1 & vx0) * w(wy1 * wx0)
+        + _gather_2d(img, y1i, x1i, vy1 & vx1) * w(wy1 * wx1)
     )
     return out
 
