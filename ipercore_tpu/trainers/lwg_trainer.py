@@ -186,6 +186,15 @@ def train_step(
     input_G_tsf = comp_out["input_G_tsf"]
     Tst, Ttt = comp_out["Tst"], comp_out["Ttt"]
 
+    # Aug-bg supervision (`LWGAugBGTrainer.set_input`, `lwg_trainer.py:457-460`):
+    # paste the source human mask onto a clean background image and append it
+    # as an extra BGNet sample supervised against the clean image.
+    aug_bg = batch.get("aug_bg") if cfg.aug_bg else None
+    if aug_bg is not None:
+        src_mask0 = masks[:, 0:1]  # (bs, 1, S, S, 1) background=1
+        aug_in = jnp.concatenate([aug_bg[:, None] * src_mask0, src_mask0], axis=-1)
+        input_G_bg = jnp.concatenate([input_G_bg, aug_in], axis=1)
+
     real_bg = batch["bg"]  # (bs, S, S, 3)
     tsf_cond = input_G_tsf[..., 3:6].reshape(bs * nt, S, S, 3)
     real_tsf = ref_img.reshape(bs * nt, S, S, 3)
@@ -198,10 +207,14 @@ def train_step(
         outs = generator.apply(params_G, input_G_bg, input_G_src, input_G_tsf,
                                Tst, Ttt, False)
         fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = outs
+        fake_aug_bg = None
         if fake_bg is None:
             fake_bg_b = jnp.broadcast_to(real_bg[:, None], (bs, 1, S, S, 3))
         else:
-            fake_bg_b = fake_bg  # (bs, 1, S, S, 3) shared bg
+            if aug_bg is not None:  # split off the appended aug sample
+                fake_aug_bg = fake_bg[:, -1]
+                fake_bg = fake_bg[:, :-1]
+            fake_bg_b = fake_bg[:, 0:1]  # (bs, 1, S, S, 3) shared bg
         fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
         fake_tsf_imgs = _composite(fake_tsf_color, fake_tsf_mask, fake_bg_b)
 
@@ -215,8 +228,10 @@ def train_step(
         else:
             loss_adv = 0.0
 
-        loss_rec = (C.l1_loss(fake_src_imgs, src_img)
-                    + C.l1_loss(fake_bg_b[:, 0], real_bg)) / 2.0 * cfg.lambda_rec
+        bg_rec = C.l1_loss(fake_bg_b[:, 0], real_bg)
+        if fake_aug_bg is not None:  # supervised inpainting on the clean aug bg
+            bg_rec = (bg_rec + C.l1_loss(fake_aug_bg, aug_bg)) / 2.0
+        loss_rec = (C.l1_loss(fake_src_imgs, src_img) + bg_rec) / 2.0 * cfg.lambda_rec
         loss_tsf = C.perceptual_loss(vgg_params, vgg.apply, flat_tsf, real_tsf) * cfg.lambda_tsf
 
         if cfg.use_face:
