@@ -106,6 +106,7 @@ def make_frame_inputs(
     offsets: jnp.ndarray | float = 0.0,
     links_ids: Optional[jnp.ndarray] = None,
     tst_stride: Optional[int] = None,
+    sample_dtype: Optional[jnp.dtype] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Per-frame-batch geometry — `make_inputs_for_tsf` (`imitator.py:259-327`).
 
@@ -115,6 +116,8 @@ def make_frame_inputs(
             finest feature warp in the generator runs at S/2, so computing
             Tst at S/2 (stride 2) loses nothing downstream and quarters the
             flow-gather cost; default: 2 when S >= 512, else 1.
+        sample_dtype: optional dtype (jnp.bfloat16) for the UV image sampling —
+            halves the gather traffic of the Tuv2t warp; coordinates stay f32.
 
     Returns:
         tsf_inputs (T, S, S, 6), Tst (T, ns, S/stride, S/stride, 2), ref_info.
@@ -133,10 +136,11 @@ def make_frame_inputs(
     # Tuv2t warp of the UV image + target condition.
     f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (T,) + comp.assets.f2uvs.shape)
     Tuv2t = rz.cal_bc_transform(f2uvs, ref_info["fim"], ref_info["wim"])
-    uv_rep = jnp.broadcast_to(cache.uv_img, (T,) + cache.uv_img.shape[1:])
+    uv_img = cache.uv_img if sample_dtype is None else cache.uv_img.astype(sample_dtype)
+    uv_rep = jnp.broadcast_to(uv_img, (T,) + uv_img.shape[1:])
     from ipercore_tpu.ops.sampling import grid_sample
 
-    syn = grid_sample(uv_rep, Tuv2t)
+    syn = grid_sample(uv_rep, Tuv2t).astype(cache.uv_img.dtype)
     tsf_inputs = jnp.concatenate([syn, ref_info["cond"]], axis=-1)  # (T, S, S, 6)
 
     # Tst: every (source, frame) pair, at the feature-warp resolution.
@@ -175,7 +179,8 @@ def synthesize_frames(
         masks (T, S, S, 1) predicted attention masks (1 = background).
     """
     T = tgt_smpl.shape[0]
-    tsf_inputs, Tst, _ = make_frame_inputs(comp, cache, tgt_smpl, offsets, links_ids)
+    tsf_inputs, Tst, _ = make_frame_inputs(
+        comp, cache, tgt_smpl, offsets, links_ids, sample_dtype=compute_dtype)
 
     # Broadcast the cached per-source features over the frame axis.
     def rep(x):  # (1, ns, ...) -> (T, ns, ...)
