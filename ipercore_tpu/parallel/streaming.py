@@ -20,8 +20,10 @@ import numpy as np
 
 class StreamingSynthesizer:
     def __init__(self, comp, generator, params, cache, chunk: int = 8,
-                 io_workers: int = 4, offsets=0.0, links_ids=None):
+                 io_workers: int = 4, offsets=0.0, links_ids=None,
+                 compute_dtype="auto"):
         import jax
+        import jax.numpy as jnp
 
         from ipercore_tpu.models import imitator as imit
 
@@ -32,11 +34,14 @@ class StreamingSynthesizer:
         self.chunk = chunk
         self.offsets = offsets
         self.links_ids = links_ids
+        if compute_dtype == "auto":
+            compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
         @jax.jit
         def run_chunk(params, cache, smpls):
             return imit.synthesize_frames(comp, generator, params, cache, smpls,
-                                          offsets, links_ids)
+                                          offsets, links_ids,
+                                          compute_dtype=compute_dtype)
 
         self._run = run_chunk
         self._pool = cf.ThreadPoolExecutor(max_workers=io_workers)

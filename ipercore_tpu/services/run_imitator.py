@@ -75,15 +75,21 @@ def build_runtime(opt, part_masks: Optional[list] = None):
 
 def imitate_sequence(
     comp, gen, params, cache, tgt_smpls: np.ndarray,
-    chunk: int = 8, temporal: bool = False,
-    offsets=0.0, links_ids=None,
+    chunk: int = 16, temporal: bool = False,
+    offsets=0.0, links_ids=None, compute_dtype="auto",
 ):
     """Run frame synthesis in jitted chunks — replaces the per-frame loop
-    (`imitator.py:328-397`). Returns (N, S, S, 3) float frames in [-1, 1]."""
+    (`imitator.py:328-397`). Returns (N, S, S, 3) float frames in [-1, 1].
+
+    compute_dtype: "auto" uses bfloat16 for the generator on TPU (f32
+    geometry), None forces full f32, or pass an explicit dtype."""
     import jax
     import jax.numpy as jnp
 
     from ipercore_tpu.models import imitator as imit
+
+    if compute_dtype == "auto":
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
     n = len(tgt_smpls)
     if temporal:
@@ -97,7 +103,8 @@ def imitate_sequence(
 
     @jax.jit
     def run(p, c, s):
-        return imit.synthesize_frames(comp, gen, p, c, s)
+        return imit.synthesize_frames(comp, gen, p, c, s, offsets, links_ids,
+                                      compute_dtype=compute_dtype)
 
     outs = []
     for i in range(0, len(padded), chunk):

@@ -84,6 +84,7 @@ class Preprocessor:
         self.smoke = smoke
         self.use_smplify = use_smplify and not smoke
         self.find_front_size = 128 if smoke else find_front_size
+        self.save_visual = not smoke
         self._body_model = body_model
         self._pose2d = None
         self._spin = None
@@ -229,6 +230,15 @@ class Preprocessor:
                 vid.save_image(os.path.join(os.path.dirname(out_img_dir), "background.png"), bg)
             info.mark_run("inpaintor")
             info.serialize()
+
+        # --- 1.7 visual QA overlay (`preprocessors._save_visual:379`) --------
+        if self.save_visual:
+            from ipercore_tpu.utils.visualizer import write_visual_video
+
+            write_visual_video(
+                imgs, theta,
+                os.path.join(os.path.dirname(out_img_dir), "visual.mp4"),
+                model=self.body_model)
 
         return info
 
