@@ -40,15 +40,23 @@ def list_frames(folder: str) -> list[str]:
 # --- png io (pure python, zlib) — keeps tests hermetic without cv2 -----------
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 image as PNG (stdlib zlib implementation)."""
+    """Write an (H, W, 3) uint8 image as PNG.
+
+    Uses the native Sub-filter runtime (`native/pngfilters.cpp`) when built —
+    better compression + faster than the python loop; falls back to filter
+    None rows otherwise. zlib/chunking stay in python either way."""
     import struct
     import zlib
+
+    from ipercore_tpu.utils import native
 
     img = np.asarray(img, np.uint8)
     h, w = img.shape[:2]
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
-    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+    raw = native.png_filter_sub(img.reshape(h, -1), bpp=img.shape[2])
+    if raw is None:
+        raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
 
     def chunk(tag, data):
         c = tag + data
@@ -85,6 +93,13 @@ def read_png(path: str) -> np.ndarray:
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
     raw = zlib.decompress(idat)
     stride = w * nch
+
+    from ipercore_tpu.utils import native
+
+    fast = native.png_unfilter(raw, h, stride, nch)
+    if fast is not None:
+        out = fast
+        return _png_channels(out.reshape(h, w, nch))
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros((stride,), np.uint8)
     pos = 0
@@ -119,13 +134,18 @@ def read_png(path: str) -> np.ndarray:
             raise ValueError(f"unknown filter {ft}")
         out[row] = cur.astype(np.uint8)
         prev = out[row].astype(np.int32)
-    img = out.reshape(h, w, nch)
+    return _png_channels(out.reshape(h, w, nch))
+
+
+def _png_channels(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded channels to (H, W, 3)."""
+    nch = img.shape[2]
     if nch == 1:
-        img = np.repeat(img, 3, axis=2)
-    elif nch == 2:
-        img = np.repeat(img[..., :1], 3, axis=2)
-    elif nch == 4:
-        img = img[..., :3]
+        return np.repeat(img, 3, axis=2)
+    if nch == 2:
+        return np.repeat(img[..., :1], 3, axis=2)
+    if nch == 4:
+        return np.ascontiguousarray(img[..., :3])
     return img
 
 
