@@ -107,6 +107,7 @@ def make_frame_inputs(
     links_ids: Optional[jnp.ndarray] = None,
     tst_stride: Optional[int] = None,
     sample_dtype: Optional[jnp.dtype] = None,
+    full_ref_info: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Per-frame-batch geometry — `make_inputs_for_tsf` (`imitator.py:259-327`).
 
@@ -129,29 +130,46 @@ def make_frame_inputs(
         tst_stride = 2 if S >= 512 else 1
 
     details = smpl_mod.get_details(comp.model, tgt_smpl, offsets, links_ids)
-    ref_info = fc.render_smpl_info(
-        comp, details["verts"], details["cam"], use_morph=False, get_uv_info=False,
-        need_vis=False)
 
-    # Tuv2t warp of the UV image + target condition.
-    f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (T,) + comp.assets.f2uvs.shape)
-    Tuv2t = rz.cal_bc_transform(f2uvs, ref_info["fim"], ref_info["wim"])
-    uv_img = cache.uv_img if sample_dtype is None else cache.uv_img.astype(sample_dtype)
-    uv_rep = jnp.broadcast_to(uv_img, (T,) + uv_img.shape[1:])
     from ipercore_tpu.ops.sampling import grid_sample
 
+    if rz._use_pallas(S) and not full_ref_info:
+        # Fused path: one kernel pass emits fim + the UV flow + all source
+        # flows (exact match with the cal_bc_transform path; validated 0-diff).
+        from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas
+
+        proj = rz.project_verts(details["verts"], details["cam"])
+        face_verts = rz.verts_to_faces(proj, comp.model.faces)  # (T, F, 3, 3)
+        aux = jnp.concatenate(
+            [comp.assets.f2uvs[None], cache.src_f2pts], axis=0)  # (1+ns, F, 3, 2)
+        fim, flows = jax.vmap(
+            lambda fv: rasterize_flows_pallas(fv, aux, S))(face_verts)
+        cond = rz.encode_fim(fim, comp.assets.map_fn)
+        ref_info = {"fim": fim, "cond": cond, "cam": details["cam"],
+                    "verts": details["verts"], "j2d": details["j2d"]}
+        Tuv2t = flows[..., 0, :]  # (T, S, S, 2)
+        Tst = jnp.moveaxis(
+            flows[:, ::tst_stride, ::tst_stride, 1:, :], 3, 1)  # (T, ns, Sf, Sf, 2)
+    else:
+        ref_info = fc.render_smpl_info(
+            comp, details["verts"], details["cam"], use_morph=False,
+            get_uv_info=False, need_vis=False)
+        f2uvs = jnp.broadcast_to(comp.assets.f2uvs, (T,) + comp.assets.f2uvs.shape)
+        Tuv2t = rz.cal_bc_transform(f2uvs, ref_info["fim"], ref_info["wim"])
+        fim_s = ref_info["fim"][:, ::tst_stride, ::tst_stride]
+        wim_s = ref_info["wim"][:, ::tst_stride, ::tst_stride]
+        Sf = fim_s.shape[1]
+        src_rep = jnp.broadcast_to(
+            cache.src_f2pts[None], (T,) + cache.src_f2pts.shape).reshape(T * ns, -1, 3, 2)
+        Tst = rz.cal_bc_transform(
+            src_rep, jnp.repeat(fim_s, ns, axis=0), jnp.repeat(wim_s, ns, axis=0)
+        ).reshape(T, ns, Sf, Sf, 2)
+
+    # Tuv2t warp of the UV image + target condition.
+    uv_img = cache.uv_img if sample_dtype is None else cache.uv_img.astype(sample_dtype)
+    uv_rep = jnp.broadcast_to(uv_img, (T,) + uv_img.shape[1:])
     syn = grid_sample(uv_rep, Tuv2t).astype(cache.uv_img.dtype)
     tsf_inputs = jnp.concatenate([syn, ref_info["cond"]], axis=-1)  # (T, S, S, 6)
-
-    # Tst: every (source, frame) pair, at the feature-warp resolution.
-    fim = ref_info["fim"][:, ::tst_stride, ::tst_stride]
-    wim = ref_info["wim"][:, ::tst_stride, ::tst_stride]
-    Sf = fim.shape[1]
-    src_rep = jnp.broadcast_to(
-        cache.src_f2pts[None], (T,) + cache.src_f2pts.shape).reshape(T * ns, -1, 3, 2)
-    fim_rep = jnp.repeat(fim, ns, axis=0)
-    wim_rep = jnp.repeat(wim, ns, axis=0)
-    Tst = rz.cal_bc_transform(src_rep, fim_rep, wim_rep).reshape(T, ns, Sf, Sf, 2)
 
     return tsf_inputs, Tst, ref_info
 
@@ -225,7 +243,8 @@ def synthesize_frames_temporal(
     Args:
         tgt_smpl: (T, 85).
     """
-    tsf_inputs, Tst, ref_info = make_frame_inputs(comp, cache, tgt_smpl, offsets, links_ids)
+    tsf_inputs, Tst, ref_info = make_frame_inputs(
+        comp, cache, tgt_smpl, offsets, links_ids, full_ref_info=True)
     T = tgt_smpl.shape[0]
     S = comp.image_size
     ns = cache.src_f2pts.shape[0]

@@ -252,3 +252,182 @@ def rasterize_pallas_batch(face_verts: jnp.ndarray, size: int, k: int = 2048,
     return jax.vmap(
         lambda fv: rasterize_pallas(fv, size, k=k, chunk=chunk, interpret=interpret)
     )(face_verts)
+
+
+# ---------------------------------------------------------------------------
+# Fused raster + flow kernel
+# ---------------------------------------------------------------------------
+
+
+def _raster_flow_kernel(count_ref, params_ref, mask_ref, local_ref, flow_ref,
+                        *, size, k, chunk, gx_tiles, n_flows):
+    """Z-buffer + per-pixel flow emission in one pass.
+
+    Extends `_raster_kernel`: each face row additionally carries `n_flows`
+    auxiliary per-vertex 2D coordinate sets (source-pose screen coords, UV
+    coords, ...). Per chunk, flow candidates are evaluated for every face and
+    the chunk winner's flows are extracted with a one-hot masked reduction
+    (all shapes stay 2D (TH, TW) — Mosaic does not flatten tiles) — replacing
+    the full-resolution `cal_bc_transform` gathers entirely.
+
+    params row layout: [M 9 | z 3 | bbox 4 | aux 6*n_flows].
+    flow_ref: (TILE_H, TILE_W, 2*n_flows) f32 out (FLOW_SENTINEL outside).
+    """
+    from ipercore_tpu.ops.rasterizer import FLOW_SENTINEL
+
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+    S = size
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    py = (gy * TILE_H + row) * (2.0 / S) + (1.0 - S) / S
+    px = (gx * TILE_W + col) * (2.0 / S) + (1.0 - S) / S
+
+    count = count_ref[gy * gx_tiles + gx]
+    n_chunks = (count + (chunk - 1)) // chunk
+
+    def body(ci, carry):
+        best_z, best_i, best_flow = carry
+        p = params_ref[0, pl.ds(ci * chunk, chunk), :]  # (chunk, row_w)
+        m = mask_ref[0, pl.ds(ci * chunk, chunk), 0]  # (chunk,)
+
+        def bary(j):
+            a = p[:, 3 * j + 0][:, None, None]
+            b = p[:, 3 * j + 1][:, None, None]
+            c = p[:, 3 * j + 2][:, None, None]
+            return a * px[None] + b * py[None] + c
+
+        w0, w1, w2 = bary(0), bary(1), bary(2)
+        inside = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6)
+        eps_px = 2.0 / S
+        in_bbox = (
+            (px[None] >= p[:, 12][:, None, None] - eps_px)
+            & (px[None] <= p[:, 13][:, None, None] + eps_px)
+            & (py[None] >= p[:, 14][:, None, None] - eps_px)
+            & (py[None] <= p[:, 15][:, None, None] + eps_px)
+        )
+        inside = inside & in_bbox
+        depth = (
+            w0 * p[:, 9][:, None, None]
+            + w1 * p[:, 10][:, None, None]
+            + w2 * p[:, 11][:, None, None]
+        )
+        ok = inside & (m > 0)[:, None, None] & (depth > NEAR) & (depth < FAR)
+        depth = jnp.where(ok, depth, _BIG)
+
+        zmin = jnp.min(depth, axis=0)  # (TH, TW)
+        amin = jnp.argmin(depth, axis=0).astype(jnp.int32)  # (TH, TW)
+
+        # one-hot over the chunk axis for the per-pixel winner
+        cids = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_H, TILE_W), 0)
+        onehot = (cids == amin[None]).astype(jnp.float32)  # (chunk, TH, TW)
+
+        # chunk-winner flow candidates: barycentric blend of aux coords,
+        # evaluated per face then reduced through the one-hot
+        cand_flows = []
+        for j in range(n_flows):
+            base = 16 + 6 * j
+            fx = (w0 * p[:, base + 0][:, None, None]
+                  + w1 * p[:, base + 2][:, None, None]
+                  + w2 * p[:, base + 4][:, None, None])
+            fy = (w0 * p[:, base + 1][:, None, None]
+                  + w1 * p[:, base + 3][:, None, None]
+                  + w2 * p[:, base + 5][:, None, None])
+            cand_flows.append(jnp.sum(onehot * fx, axis=0))
+            cand_flows.append(jnp.sum(onehot * fy, axis=0))
+        cand_flow = jnp.stack(cand_flows, axis=-1)  # (TH, TW, 2J)
+
+        take = zmin < best_z  # (TH, TW)
+        best_z = jnp.where(take, zmin, best_z)
+        best_i = jnp.where(take, ci * chunk + amin, best_i)
+        # bool minor-dim expansion is unsupported on TPU — blend via f32 mask
+        takef = take.astype(jnp.float32)[..., None]
+        best_flow = takef * cand_flow + (1.0 - takef) * best_flow
+        return best_z, best_i, best_flow
+
+    init = (
+        jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        jnp.zeros((TILE_H, TILE_W, 2 * n_flows), jnp.float32),
+    )
+    best_z, best_i, best_flow = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    hit = best_z < _BIG
+    local_ref[:, :] = jnp.where(hit, best_i, -1)
+    hitf = hit.astype(jnp.float32)[..., None]
+    flow_ref[:, :, :] = hitf * best_flow + (1.0 - hitf) * FLOW_SENTINEL
+
+
+@functools.partial(jax.jit, static_argnames=("size", "k", "chunk", "interpret"))
+def rasterize_flows_pallas(
+    face_verts: jnp.ndarray,
+    aux_pts: jnp.ndarray,
+    size: int,
+    k: int = 2048,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Rasterize + emit per-pixel flows for J auxiliary coordinate sets.
+
+    Args:
+        face_verts: (F, 3, 3) projected target-pose faces.
+        aux_pts: (J, F, 3, 2) per-flow-set per-face-vertex source coordinates
+            (e.g. UV template coords, each source pose's screen coords).
+
+    Returns:
+        (fim (S, S) int32, flows (S, S, J, 2) f32 — FLOW_SENTINEL on bg).
+
+    Replaces raster + J x `cal_bc_transform` with one kernel pass.
+    """
+    S = size
+    gy, gx = S // TILE_H, S // TILE_W
+    n_tiles = gy * gx
+    J = aux_pts.shape[0]
+
+    tile_params, ids, mask = _bin_faces(face_verts, size, k)  # (n_tiles, k, 16)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+    # append aux columns: (J, F, 3, 2) -> (F, 6J), gathered per tile
+    aux_flat = jnp.transpose(aux_pts, (1, 0, 2, 3)).reshape(aux_pts.shape[1], J * 6)
+    # interleave per flow-set as [x0 y0 x1 y1 x2 y2] (already row-major in (3, 2))
+    tile_aux = jnp.take(aux_flat, ids, axis=0)  # (n_tiles, k, 6J)
+    tile_params = jnp.concatenate([tile_params, tile_aux], axis=-1)
+    maskf = mask.astype(jnp.float32)[..., None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec((1, k, 16 + 6 * J), lambda i, j, counts: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 1), lambda i, j, counts: (i * gx + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, counts: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W, 2 * J), lambda i, j, counts: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    local, flow = pl.pallas_call(
+        functools.partial(_raster_flow_kernel, size=size, k=k, chunk=chunk,
+                          gx_tiles=gx, n_flows=J),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((S, S), jnp.int32),
+            jax.ShapeDtypeStruct((S, S, 2 * J), jnp.float32),
+        ),
+        interpret=interpret,
+    )(counts, tile_params, maskf)
+
+    # map tile-local winner -> global face id (for the cond encoding)
+    local_tiles = local.reshape(gy, TILE_H, gx, TILE_W).transpose(0, 2, 1, 3)
+    local_flat = local_tiles.reshape(n_tiles, TILE_H * TILE_W)
+    safe_local = jnp.maximum(local_flat, 0)
+    fid_flat = jnp.take_along_axis(ids, safe_local, axis=1)
+    fid_flat = jnp.where(local_flat >= 0, fid_flat, -1)
+    fim = (fid_flat.reshape(gy, gx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
+           .reshape(S, S))
+    flows = flow.reshape(S, S, J, 2)
+    return fim, flows
