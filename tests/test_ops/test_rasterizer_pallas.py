@@ -53,3 +53,22 @@ def test_pallas_interpret_matches_xla():
     same = fr == fp
     wdiff = np.abs(np.asarray(ref.wim) - np.asarray(out.wim))[same].max()
     assert wdiff < 1e-2, f"wim diff {wdiff}"
+
+
+def test_fused_flow_kernel_matches_cal_bc(tmp_path):
+    """rasterize_flows_pallas == rasterize + cal_bc_transform (interpret mode)."""
+    from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas
+
+    fv = _scene()
+    S = 128
+    rng = np.random.RandomState(3)
+    aux = jnp.asarray(rng.uniform(-1, 1, (2,) + fv.shape[:2] + (2,)), jnp.float32)
+    fim, flows = rasterize_flows_pallas(fv, aux, S, k=128, chunk=64, interpret=True)
+    ref = rz.rasterize(fv, S)
+    fr, fp = np.asarray(ref.fim), np.asarray(fim)
+    assert (fr == fp).mean() > 0.999
+    same = fr == fp
+    for j in range(2):
+        T = rz.cal_bc_transform(aux[j][None], ref.fim[None], ref.wim[None])[0]
+        d = np.abs(np.asarray(flows[..., j, :]) - np.asarray(T))[same]
+        assert d.max() < 1e-2, d.max()
