@@ -90,7 +90,10 @@ def convert_torch_state_dict(state_dict: dict, strip_module: bool = True) -> dic
     (`base_model.py:52-75`) and NCHW->NHWC-friendly conv kernel transposes:
 
       * Conv2d weight (O, I, kH, kW)          -> (kH, kW, I, O)
-      * ConvTranspose2d weight (I, O, kH, kW) -> (kH, kW, O, I) flipped spatially
+      * ConvTranspose2d weight (I, O, kH, kW) -> (kH, kW, I, O) flipped spatially
+        (flax nn.ConvTranspose kernels are (spatial..., in, out), and
+        lax.conv_transpose with transpose_kernel=False correlates the kernel
+        directly, so the torch gradient-style kernel must be spatially flipped)
       * Linear weight (O, I)                  -> (I, O)
     """
     out = {}
@@ -104,6 +107,6 @@ def convert_torch_state_dict(state_dict: dict, strip_module: bool = True) -> dic
 
 def torch_conv_to_flax(w: np.ndarray, transpose: bool = False) -> np.ndarray:
     """Kernel layout conversion for drop-in weight reuse."""
-    if transpose:  # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, O, I), flipped
-        return np.flip(w.transpose(2, 3, 1, 0), axis=(0, 1)).copy()
+    if transpose:  # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, I, O), flipped
+        return np.flip(w.transpose(2, 3, 0, 1), axis=(0, 1)).copy()
     return w.transpose(2, 3, 1, 0).copy()  # Conv2d (O, I, kH, kW) -> (kH, kW, I, O)

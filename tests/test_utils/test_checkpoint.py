@@ -33,7 +33,35 @@ def test_torch_conv_layout():
     # spot-check one element
     assert f[1, 2, 1, 0] == w[0, 1, 1, 2]
     t = torch_conv_to_flax(np.zeros((3, 4, 4, 4), np.float32), transpose=True)
-    assert t.shape == (4, 4, 4, 3)
+    assert t.shape == (4, 4, 3, 4)  # (I,O,kH,kW) -> (kH,kW,I,O)
+
+
+def test_torch_convtranspose_numeric_parity():
+    """Converted ConvTranspose2d weights must reproduce torch outputs exactly.
+
+    Non-square channel counts (I=3, O=5) catch the old (kH,kW,O,I) layout bug:
+    flax nn.ConvTranspose kernels are (kH,kW,in,out) and need a spatial flip.
+    torch padding=1 with k=4,s=2 lines up with flax padding="SAME" (the layout
+    used by every decoder in this repo).
+    """
+    import torch
+    import torch.nn as tn
+    import flax.linen as nn
+
+    torch.manual_seed(0)
+    I, O, H = 3, 5, 8
+    m = tn.ConvTranspose2d(I, O, 4, stride=2, padding=1, bias=True)
+    x = torch.randn(2, I, H, H)
+    with torch.no_grad():
+        y_t = m(x).numpy()
+    k = torch_conv_to_flax(m.weight.detach().numpy(), transpose=True)
+    assert k.shape == (4, 4, I, O)
+    mod = nn.ConvTranspose(O, (4, 4), strides=(2, 2), padding="SAME")
+    params = {"params": {"kernel": jnp.asarray(k),
+                         "bias": jnp.asarray(m.bias.detach().numpy())}}
+    y_j = mod.apply(params, jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))))
+    y_j = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
+    np.testing.assert_allclose(y_t, y_j, atol=1e-5)
 
 
 def test_generator_converter_places_weights():
