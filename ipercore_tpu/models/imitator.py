@@ -40,6 +40,7 @@ class SourceCache(NamedTuple):
     bg_img: jnp.ndarray
     src_f2pts: jnp.ndarray
     src_cam: jnp.ndarray
+    src_shape: jnp.ndarray
 
 
 def setup_source(
@@ -96,7 +97,82 @@ def setup_source(
         bg_img=bg,
         src_f2pts=f2pts,
         src_cam=details["cam"],
+        src_shape=details["shape"],
     )
+
+
+def infer_foot_y(model, smpls: np.ndarray, chunk: int = 64) -> np.ndarray:
+    """Per-frame max body-vertex y (screen-down = lowest point) from the SMPL
+    forward pass — `WeakPerspectiveCamera.infer_smpl_foot_y`
+    (`cam_pose_utils.py:102-130`). Shape is locked to frame 0's betas, as the
+    reference does before inferring.
+
+    Args:
+        smpls: (N, 85) host array.
+
+    Returns:
+        (N,) numpy foot-y track.
+    """
+    import numpy as np
+
+    smpls = np.asarray(smpls, np.float32)
+    theta = smpls.copy()
+    theta[:, 75:] = theta[0:1, 75:]
+
+    ys = []
+    run = jax.jit(lambda t: jnp.max(
+        smpl_mod.get_details(model, t)["verts"][:, :, 1], axis=1))
+    pad = (-len(theta)) % chunk
+    padded = np.concatenate([theta, np.repeat(theta[-1:], pad, axis=0)]) if pad else theta
+    for i in range(0, len(padded), chunk):
+        ys.append(np.asarray(run(jnp.asarray(padded[i:i + chunk]))))
+    return np.concatenate(ys)[:len(theta)]
+
+
+def prepare_target_smpls(
+    model,
+    cache: SourceCache,
+    tgt_smpls: np.ndarray,
+    cam_strategy: str = "smooth",
+    primary_id: int = 0,
+) -> np.ndarray:
+    """Sequence-level target preparation before synthesis — the camera
+    swap + stabilization the reference runs inside `Imitator.inference`
+    (`imitator.py:337-341` stabilize, `:248-258` swap_params via
+    `make_inputs_for_tsf:299-305`).
+
+    The camera is swapped so output framing/scale follows the SOURCE person's
+    camera (strategy "smooth" keeps the reference's motion deltas), and the
+    body shape is replaced by the source's betas. Runs once per sequence on
+    host (cheap: one batched SMPL pass for foot-y), so chunked synthesis sees
+    consistent `first_cam` state.
+
+    Args:
+        tgt_smpls: (N, 85) reference-video SMPLs.
+        cam_strategy: smooth | source | ref_txty | copy.
+
+    Returns:
+        (N, 85) numpy SMPLs ready for `synthesize_frames`.
+    """
+    import numpy as np
+
+    from ipercore_tpu.utils import camera as cam_utils
+
+    smpls = np.asarray(tgt_smpls, np.float32)
+    if cam_strategy == "smooth":
+        foot_y = infer_foot_y(model, smpls)
+        smpls = cam_utils.stabilize_smpls(smpls, foot_y)
+
+    src_cam = np.broadcast_to(
+        np.asarray(cache.src_cam[primary_id:primary_id + 1], np.float32),
+        (len(smpls), 3))
+    src_shape = np.asarray(cache.src_shape[primary_id:primary_id + 1], np.float32)
+    first_cam = smpls[0:1, 0:3]
+    new_cam = np.asarray(cam_utils.cam_swap(
+        jnp.asarray(src_cam), jnp.asarray(smpls[:, 0:3]),
+        jnp.asarray(first_cam), cam_strategy))
+    return np.concatenate(
+        [new_cam, smpls[:, 3:75], np.repeat(src_shape, len(smpls), axis=0)], axis=1)
 
 
 def make_frame_inputs(
@@ -135,7 +211,9 @@ def make_frame_inputs(
 
     if rz._use_pallas(S) and not full_ref_info:
         # Fused path: one kernel pass emits fim + the UV flow + all source
-        # flows (exact match with the cal_bc_transform path; validated 0-diff).
+        # flows (matches the cal_bc_transform path within the tested
+        # tolerances: >=99.9% fim agreement, flow err < 1e-2 on z-tie pixels —
+        # tests/test_ops/test_rasterizer_pallas.py).
         from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas
 
         proj = rz.project_verts(details["verts"], details["cam"])
@@ -259,10 +337,14 @@ def synthesize_frames_temporal(
         return x[0:1] if x.shape[0] == 1 else x
 
     def step(carry, xs):
-        prev_img, prev_mask, prev_cond = carry
+        prev_img, prev_mask, prev_syn = carry
         tsf_in, tst, ttt = xs
-        # previous prediction as an extra temporal source
-        temp_in = jnp.concatenate([prev_img * (1.0 - prev_mask), prev_cond], axis=-1)[None, None]
+        # Previous prediction as an extra temporal source. Channel layout must
+        # match TRAINING's feedback (`generators.py` forward: fg-masked pred +
+        # channels 0:3 of the previous tsf input, i.e. the warped appearance —
+        # ref `attlwb_spade_resunet.py:680`), or a temporally-trained G runs
+        # on inputs it never saw.
+        temp_in = jnp.concatenate([prev_img * (1.0 - prev_mask), prev_syn], axis=-1)[None, None]
         temp_enc, temp_res = generator.apply(
             params, temp_in, True, method=generator.forward_src)
         img, mask = generator.apply(
@@ -270,11 +352,11 @@ def synthesize_frames_temporal(
             temp_enc, temp_res, ttt[None, None],
             method=generator.forward_tsf)
         pred = mask * cache.bg_img + (1.0 - mask) * img
-        cond = tsf_in[..., 3:6]
-        return (img[0], mask[0], cond), (pred[0], mask[0])
+        syn = tsf_in[..., 0:3]
+        return (img[0], mask[0], syn), (pred[0], mask[0])
 
-    init_cond = tsf_inputs[0, ..., 3:6]
-    init = (jnp.zeros((S, S, 3), tsf_inputs.dtype), jnp.ones((S, S, 1), tsf_inputs.dtype), init_cond)
+    init_syn = tsf_inputs[0, ..., 0:3]
+    init = (jnp.zeros((S, S, 3), tsf_inputs.dtype), jnp.ones((S, S, 1), tsf_inputs.dtype), init_syn)
     _, (preds, masks) = jax.lax.scan(step, init, (tsf_inputs, Tst, Ttt_seq))
     return preds, masks
 
@@ -378,4 +460,5 @@ def merge_source_caches(
         bg_img=caches[0].bg_img,
         src_f2pts=f2pts,
         src_cam=jnp.concatenate([c.src_cam for c in caches], axis=0),
+        src_shape=jnp.concatenate([c.src_shape for c in caches], axis=0),
     )

@@ -40,7 +40,9 @@ def build_runtime(opt, part_masks: Optional[list] = None):
         # tiny stand-in mesh for hermetic tests / dry runs
         model = smpl_mod.synthetic_model(nu=20, nv=18)
     else:
-        model = smpl_mod.synthetic_model()
+        # real SMPL template geometry/topology when the reference assets are
+        # present; synthetic stand-in otherwise
+        model = smpl_mod.template_model()
     if opt.get("smoke_model", False):
         assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     else:
@@ -186,6 +188,12 @@ def imitate(opt) -> list[str]:
                 smpls = np.asarray(imit.add_view_effect(jnp.asarray(smpls), ref_meta.effect["View"]))
             for frame, dur in ref_meta.effect.get("BT", []):
                 smpls = np.asarray(imit.add_bullet_time_effect(jnp.asarray(smpls), [frame], dur))
+
+            # Camera swap + stabilization: output framing follows the SOURCE
+            # camera (`imitator.py:248-258,337-341`).
+            smpls = imit.prepare_target_smpls(
+                comp.model, cache, smpls,
+                cam_strategy=str(opt.get("cam_strategy", "smooth")))
 
             frames = imitate_sequence(
                 comp, gen, params, cache, smpls,

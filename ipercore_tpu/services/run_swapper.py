@@ -54,6 +54,11 @@ def swap(opt) -> list[str]:
         ref_info = ProcessInfo.deserialize(proc_dir).read_ref_info()
         smpls = temporal_smooth_smpls(
             np.asarray(ref_info["smpls"], np.float32), ref_meta.pose_fc, ref_meta.cam_fc)
+        # Cam swap/stabilize vs the primary person's camera —
+        # `call_imitator_inference` passes `opt.cam_strategy` (run_swapper.py:108).
+        smpls = imit.prepare_target_smpls(
+            comp.model, merged, smpls,
+            cam_strategy=str(opt.get("cam_strategy", "smooth")))
         frames = imitate_sequence(comp, gen, params, merged, smpls)
         out_dir = MetaProcess(
             f"{names}-{ref_meta.name}-swap", opt.output_dir).make_dirs().synthesis_dir

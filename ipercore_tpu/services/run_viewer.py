@@ -29,7 +29,12 @@ def novel_view(opt) -> list[str]:
         smpls = imit.make_novel_view_smpls(
             base, n_frames=int(opt.get("view_frames", 180)),
             use_t_pose=bool(opt.get("T_pose", False)))
-        frames = imitate_sequence(comp, gen, params, cache, np.asarray(smpls),
+        # Camera stabilize + swap, same as `Viewer.inference` (ref
+        # `imitator.py:420-423` + run_viewer.py:79 cam_strategy="smooth").
+        smpls = imit.prepare_target_smpls(
+            comp.model, cache, np.asarray(smpls),
+            cam_strategy=str(opt.get("cam_strategy", "smooth")))
+        frames = imitate_sequence(comp, gen, params, cache, smpls,
                                   offsets=jnp.asarray(offsets), links_ids=links_ids)
         out_dir = MetaProcess(
             f"{src_meta.name}-novel_view", opt.output_dir).make_dirs().synthesis_dir

@@ -86,18 +86,39 @@ def get_jump_mask(final_foot_y: np.ndarray, up_th: float = 0.2, down_th: float =
     return jump_info, mask
 
 
-def stabilize_cam_by_foot_contact(smpls: np.ndarray, foot_y: np.ndarray) -> np.ndarray:
-    """Pin the camera ty so feet stay on the ground outside jump intervals —
-    the essence of `WeakPerspectiveCamera.stabilize:52`.
+def stabilize_smpls(smpls: np.ndarray, foot_y: np.ndarray) -> np.ndarray:
+    """Stabilize a target SMPL sequence by foot contact —
+    `WeakPerspectiveCamera.stabilize` (`cam_pose_utils.py:52-100`).
+
+    Reference semantics: the camera is reset to (s=1, tx=0), ty is pinned so
+    the lowest body point (max vertex y in screen-down coords) stays on the
+    first frame's ground line, jump intervals keep the original (clamped) ty,
+    and the shape is locked to the first frame's betas.
 
     Args:
-        smpls: (N, 85); foot_y: (N,) lowest projected foot y per frame.
+        smpls: (N, 85); foot_y: (N,) per-frame max body-vertex y from the SMPL
+            forward pass (camera-free, body coords), see
+            `models.imitator.infer_foot_y`.
+
+    Returns:
+        (N, 85) stabilized sequence.
     """
     smpls = np.array(smpls, np.float32)
-    _, jump_mask = get_jump_mask(foot_y)
-    ground = foot_y[0]
-    correction = np.where(jump_mask > 0, 0.0, ground - foot_y)
-    smpls[:, 2] = smpls[:, 2] + correction  # ty
+    foot_y = np.asarray(foot_y, np.float32)
+    cam_y = smpls[:, 2].copy()
+    ground_y = cam_y[0]
+
+    final_foot_y = foot_y + cam_y
+    jump_info, _ = get_jump_mask(final_foot_y)
+
+    new_cam_y = ground_y + (foot_y[0] - foot_y)
+    for s, e in jump_info:
+        new_cam_y[s:e + 1] = np.minimum(cam_y[s:e + 1], new_cam_y[s:e + 1])
+
+    smpls[:, 0] = 1.0
+    smpls[:, 1] = 0.0
+    smpls[:, 2] = new_cam_y
+    smpls[:, 75:] = smpls[0:1, 75:]
     return smpls
 
 

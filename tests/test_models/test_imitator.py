@@ -103,6 +103,58 @@ def test_bullet_time_splices():
     assert out.shape == (22, 85)
 
 
+def _fg_box(fim):
+    """Foreground bbox (y0, y1, x0, x1) of a face-index map."""
+    m = np.asarray(fim >= 0)
+    ys, xs = np.where(m)
+    return ys.min(), ys.max(), xs.min(), xs.max()
+
+
+def test_prepare_targets_matches_source_framing(rig):
+    """Source and reference cameras differ; after the cam swap the rendered
+    target must frame the person like the SOURCE camera does — parity with
+    `swap_params` (`imitator.py:248-258`) + `cam_swap` (`cam_pose_utils.py:17`)."""
+    comp, gen, params = rig
+    rng = np.random.RandomState(7)
+    src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
+    src_smpl = np.asarray(_theta(NS, seed=8)).copy()
+    src_smpl[:, 0:3] = [1.4, 0.05, -0.05]  # big, centered-ish person
+    cache = imit.setup_source(comp, gen, params, src_img, jnp.asarray(src_smpl)[None])
+
+    tgt = np.asarray(_theta(5, seed=9)).copy()
+    tgt[:, 0:3] = [0.5, -0.6, 0.45]  # small, far off-center reference camera
+    tgt[:, 2] += np.arange(5) * 0.01
+
+    out = imit.prepare_target_smpls(comp.model, cache, tgt, cam_strategy="smooth")
+    assert out.shape == (5, 85)
+    # shape is replaced by the source person's betas
+    np.testing.assert_allclose(out[:, 75:], np.tile(src_smpl[0:1, 75:], (5, 1)), atol=1e-6)
+    # smooth: stabilize resets the ref cam to (1, 0, ty), so the swapped scale
+    # and tx equal the source camera's
+    np.testing.assert_allclose(out[:, 0], src_smpl[0, 0], atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], src_smpl[0, 1], atol=1e-5)
+
+    # pixel-level: rendered fg box of the prepared frame matches the source
+    # render far better than the raw reference camera does
+    def box_of(theta):
+        d = smpl_mod.get_details(comp.model, jnp.asarray(theta[None]))
+        info = fc.render_smpl_info(comp, d["verts"], d["cam"], use_morph=False,
+                                   get_uv_info=False, need_vis=False)
+        return _fg_box(info["fim"][0])
+
+    src_box = np.asarray(box_of(src_smpl[0]), np.float32)
+    swapped_box = np.asarray(box_of(out[0]), np.float32)
+    raw_box = np.asarray(box_of(np.concatenate([tgt[0, 0:3], out[0, 3:]])), np.float32)
+    assert np.abs(swapped_box - src_box).max() < np.abs(raw_box - src_box).max() / 2
+
+    # "source" strategy pins the camera wholesale
+    out_src = imit.prepare_target_smpls(comp.model, cache, tgt, cam_strategy="source")
+    np.testing.assert_allclose(out_src[:, 0:3], np.tile(src_smpl[0:1, 0:3], (5, 1)), atol=1e-6)
+    # "copy" keeps the reference camera
+    out_copy = imit.prepare_target_smpls(comp.model, cache, tgt, cam_strategy="copy")
+    np.testing.assert_allclose(out_copy[:, 0:3], tgt[:, 0:3], atol=1e-6)
+
+
 def test_swapper_merge(rig):
     comp, gen, params = rig
     rng = np.random.RandomState(5)
