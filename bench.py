@@ -33,7 +33,9 @@ def main():
     from ipercore_tpu.models.mesh import load_assets
     from ipercore_tpu.models.networks import build_generator
 
-    model = smpl_mod.synthetic_model()
+    # Real SMPL template + real UV/part assets when present (template_model
+    # falls back to the synthetic stand-in off-box).
+    model = smpl_mod.template_model()
     assets = load_assets(model)
     comp = fc.make_composer(model, assets, image_size=SIZE, out_dilate_ks=51)
 

@@ -297,10 +297,12 @@ def load_assets(
         if path and os.path.exists(path):
             with open(path) as f:
                 data = json.load(f)
-            ids = np.asarray(
-                data if isinstance(data, list) else sum((list(v) for v in data.values()), []),
-                np.int64,
-            ).ravel()
+            # reference front_*.json: {"vertex": [...], "face": [...]} — only
+            # the face ids label faces (vertex ids would alias as bogus faces)
+            if isinstance(data, dict):
+                ids = np.asarray(data.get("face", []), np.int64).ravel()
+            else:
+                ids = np.asarray(data, np.int64).ravel()
             mask = np.zeros((n_faces,), bool)
             ids = ids[(ids >= 0) & (ids < n_faces)]
             mask[ids] = True

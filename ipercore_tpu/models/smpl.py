@@ -209,6 +209,159 @@ def synthetic_model(
     )
 
 
+# SMPL kinematic tree (24 joints) — `batch_smpl.py` kintree_table semantics.
+_SMPL_PARENTS = np.array(
+    [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21],
+    np.int32)
+# cocoplus-19 -> SMPL-24 joint correspondence (approximate; face kps -> head).
+_COCOPLUS_FROM_SMPL = np.array(
+    [8, 5, 2, 1, 4, 7, 21, 19, 17, 16, 18, 20, 12, 15, 15, 15, 15, 15, 15], np.int32)
+
+_TEMPLATE_CACHE: dict = {}
+
+
+def _band_centroid(pts: np.ndarray, axis_vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Centroid of the points whose axis value lies in the [lo, hi] quantile band."""
+    a, b = np.quantile(axis_vals, [lo, hi])
+    sel = (axis_vals >= a) & (axis_vals <= b)
+    return pts[sel].mean(axis=0)
+
+
+def template_model(
+    uv_map_path: str | None = None,
+    part_path: str | None = None,
+    seed: int = 0,
+) -> SMPLModel:
+    """Body model on the REAL SMPL template: geometry + topology from the
+    reference's `mapper_uv.txt` OBJ (6890 verts / 13776 faces —
+    `assets/configs/pose3d/`, consumed by ref `mesh.get_f2vts:246`), with a
+    skeleton derived from `smpl_part_info.json` part vertex sets and
+    synthesized smooth skinning (the licensed SMPL pickle with the learned
+    blend weights requires a download this environment does not have).
+
+    The template is stored y-up; it is flipped (180° about x) so the rest
+    pose matches this repo's screen convention (y down: feet at max y).
+
+    Falls back to `synthetic_model()` when the asset files are absent.
+    """
+    from ipercore_tpu.models.mesh import find_asset, load_obj
+
+    uv_map_path = uv_map_path or find_asset("mapper_uv.txt")
+    part_path = part_path or find_asset("smpl_part_info.json")
+    if not (uv_map_path and part_path):
+        return synthetic_model(seed=seed)
+    key = (uv_map_path, part_path, seed)
+    if key in _TEMPLATE_CACHE:
+        return _TEMPLATE_CACHE[key]
+
+    import json
+
+    obj = load_obj(uv_map_path)
+    v = obj["vertices"].copy()
+    v[:, 1] *= -1.0  # y-up -> y-down (screen)
+    v[:, 2] *= -1.0
+    faces = obj["faces"].astype(np.int32)
+    V = v.shape[0]
+
+    with open(part_path) as f:
+        pi = json.load(f)
+
+    def pverts(name):
+        ids = np.asarray(pi[name]["vertex"], np.int64)
+        return v[ids]
+
+    # --- joints from part vertex bands (y down: smaller y = higher) ---------
+    def leg_joints(name):
+        p = pverts(name)
+        y = p[:, 1]
+        hip = _band_centroid(p, y, 0.0, 0.12)
+        knee = _band_centroid(p, y, 0.45, 0.55)
+        ankle = _band_centroid(p, y, 0.90, 1.0)
+        return hip, knee, ankle
+
+    def arm_joints(name):
+        p = pverts(name)
+        d = np.abs(p[:, 0])
+        shoulder = _band_centroid(p, d, 0.0, 0.10)
+        elbow = _band_centroid(p, d, 0.45, 0.55)
+        wrist = _band_centroid(p, d, 0.92, 1.0)
+        return shoulder, elbow, wrist
+
+    l_hip, l_knee, l_ankle = leg_joints("02_left_leg")
+    r_hip, r_knee, r_ankle = leg_joints("03_right_leg")
+    l_sho, l_elb, l_wri = arm_joints("04_left_arm")
+    r_sho, r_elb, r_wri = arm_joints("05_right_arm")
+    l_foot = pverts("06_left_foot").mean(axis=0)
+    r_foot = pverts("07_right_foot").mean(axis=0)
+    l_hand = pverts("08_left_hand").mean(axis=0)
+    r_hand = pverts("09_right_hand").mean(axis=0)
+
+    torso = pverts("01_torso")
+    neck = _band_centroid(torso, torso[:, 1], 0.0, 0.05)
+    head_p = pverts("00_head")
+    head = _band_centroid(head_p, head_p[:, 1], 0.3, 0.7)
+
+    pelvis = 0.5 * (l_hip + r_hip)
+    spine1 = pelvis + 0.3 * (neck - pelvis)
+    spine2 = pelvis + 0.55 * (neck - pelvis)
+    spine3 = pelvis + 0.8 * (neck - pelvis)
+    l_col = 0.5 * (neck + l_sho)
+    r_col = 0.5 * (neck + r_sho)
+
+    joints = np.stack([
+        pelvis, l_hip, r_hip, spine1, l_knee, r_knee, spine2, l_ankle, r_ankle,
+        spine3, l_foot, r_foot, neck, l_col, r_col, head, l_sho, r_sho,
+        l_elb, r_elb, l_wri, r_wri, l_hand, r_hand,
+    ]).astype(np.float32)
+    parents = _SMPL_PARENTS.copy()
+    J = joints.shape[0]
+
+    # --- skinning: softmax over distance to each joint's bone segment -------
+    children: list[list[int]] = [[] for _ in range(J)]
+    for j in range(1, J):
+        children[parents[j]].append(j)
+
+    def seg_dist(p, a, b):
+        ab = b - a
+        t = np.clip(((p - a) @ ab) / max(float(ab @ ab), 1e-8), 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        return np.linalg.norm(p - proj, axis=1)
+
+    d = np.empty((V, J), np.float32)
+    for j in range(J):
+        if children[j]:
+            d[:, j] = np.min(
+                np.stack([seg_dist(v, joints[j], joints[c]) for c in children[j]]),
+                axis=0)
+        else:
+            d[:, j] = np.linalg.norm(v - joints[j], axis=1)
+    w = np.exp(-(d / 0.08) ** 2)
+    lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    # j_regressor: gaussian over vertex distance to the joint point
+    jr = np.exp(-(d.T / 0.05) ** 2)
+    j_regressor = (jr / jr.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    rng = np.random.RandomState(seed)
+    shapedirs = (rng.randn(V, 3, NUM_SHAPE) * 0.01).astype(np.float32)
+    posedirs = (rng.randn(V, 3, 9 * (J - 1)) * 0.001).astype(np.float32)
+    joint_regressor = j_regressor[_COCOPLUS_FROM_SMPL]
+
+    model = SMPLModel(
+        v_template=jnp.asarray(v.astype(np.float32)),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        j_regressor=jnp.asarray(j_regressor),
+        lbs_weights=jnp.asarray(lbs_weights),
+        parents=jnp.asarray(parents),
+        joint_regressor=jnp.asarray(joint_regressor),
+        faces=jnp.asarray(faces),
+        hands_mean=jnp.asarray(np.zeros((0,), np.float32)),
+    )
+    _TEMPLATE_CACHE[key] = model
+    return model
+
+
 def _rigid_transform_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-kinematics chain. rot_mats: (J, 3, 3); joints: (J, 3).
 
