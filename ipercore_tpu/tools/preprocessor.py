@@ -143,18 +143,27 @@ class Preprocessor:
 
         # --- 1.1 + 1.2: detect + crop ----------------------------------
         if not info.has_run("cropper"):
+            from ipercore_tpu.tools.detection import track_person_boxes
+
             names, geoms = [], []
-            active_box = None
-            first = vid.load_image(frame_paths[0])
-            H, W = first.shape[:2]
-            # detection-free default: full frame (a trained detector narrows it)
-            for i, p in enumerate(frame_paths):
-                img = vid.load_image(p)
-                box = np.asarray([0, 0, img.shape[1], img.shape[0]], np.float32)
-                active_box = update_active_boxes(box, active_box)
-            box = fmt_active_boxes(active_box, (H, W), factor=1.0)
-            for i, p in enumerate(frame_paths):
-                img = vid.load_image(p)
+            frames = np.stack([vid.load_image(p) for p in frame_paths])
+            H, W = frames.shape[1:3]
+
+            # 1.1: person detection (median-background foreground segmenter
+            # feeding MaxBoxTracker — `_execute_detector:167`); falls back to
+            # the full frame when detection is unreliable (single image /
+            # moving camera).
+            tracked = track_person_boxes(frames)
+            if tracked is not None:
+                active_box = None
+                for b in tracked:
+                    active_box = update_active_boxes(b, active_box)
+                box = fmt_active_boxes(active_box, (H, W), factor=1.25)
+            else:
+                box = fmt_active_boxes(
+                    np.asarray([0, 0, W, H], np.float32), (H, W), factor=1.0)
+
+            for i, img in enumerate(frames):
                 crop, geom = process_crop_img(img, box, S)
                 name = f"{i:08d}.png"
                 vid.save_image(os.path.join(out_img_dir, name), crop)
@@ -162,7 +171,10 @@ class Preprocessor:
                 geoms.append([*geom["start_pt"], geom["scale"]])
             info.meta["valid_img_names"] = names
             info.set_array("crop_geom", np.asarray(geoms, np.float32))
-            info.mark_run("detector", n_frames=len(names))
+            if tracked is not None:
+                info.set_array("person_boxes", tracked.astype(np.float32))
+            info.mark_run("detector", n_frames=len(names),
+                          detected=bool(tracked is not None))
             info.mark_run("cropper", box=[float(v) for v in box])
             info.serialize()
 
@@ -188,7 +200,8 @@ class Preprocessor:
                     jax.image.resize(jnp.asarray(imgs), (len(imgs), 224, 224, 3), "linear"))
                 theta = self.spin.run(spin_in)
                 if self.use_smplify:
-                    kps, scores, valid = self.pose2d.run(spin_in)
+                    # NMS + PAF grouping + 1-euro filter (multi-person-safe)
+                    kps, scores, valid = self.pose2d.run_tracked(spin_in)
                     from ipercore_tpu.tools.pose2d import body25_to_cocoplus
 
                     kps19, conf19 = body25_to_cocoplus(kps, scores * valid)

@@ -1,0 +1,102 @@
+"""Stage-1.1 person detection: median-background segmenter + MaxBoxTracker.
+
+The VERDICT round-1 gap: every frame got a full-frame box
+(`tools/preprocessor.py` stage 1.1 stub). These tests fabricate a small
+off-center person moving over a static textured background and assert the
+crop contains and centers them — parity with the reference's detect+crop
+behavior (`base_preprocessor.py:167-243`, `process_utils.py:111-362`)."""
+import numpy as np
+
+from ipercore_tpu.tools.detection import (
+    PersonDetector, track_person_boxes, connected_component_boxes,
+)
+from ipercore_tpu.tools.preprocessor import (
+    update_active_boxes, fmt_active_boxes, process_crop_img,
+)
+
+
+def _scene(n=8, H=120, W=160, person_hw=(30, 14), start=(70, 20), step=(0, 3), seed=0):
+    """Static textured background + a small moving colored 'person'."""
+    rng = np.random.RandomState(seed)
+    bg = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32) * 0.3
+    frames = np.repeat(bg[None], n, axis=0).copy()
+    ph, pw = person_hw
+    boxes = []
+    for i in range(n):
+        y = start[0] + step[0] * i
+        x = start[1] + step[1] * i
+        frames[i, y:y + ph, x:x + pw] = np.asarray([0.9, -0.7, 0.4])
+        boxes.append([x, y, x + pw, y + ph])
+    return frames, np.asarray(boxes, np.float32)
+
+
+def test_connected_components_boxes():
+    m = np.zeros((20, 20), bool)
+    m[2:5, 3:8] = True
+    m[10:18, 12:16] = True
+    boxes = connected_component_boxes(m, min_area=4)
+    assert boxes.shape == (2, 4)
+    assert [3, 2, 8, 5] in boxes.tolist()
+    assert [12, 10, 16, 18] in boxes.tolist()
+
+
+def test_detector_finds_moving_person():
+    frames, gt = _scene()
+    det = PersonDetector()
+    per_frame = det.run(frames)
+    hits = 0
+    for boxes, g in zip(per_frame, gt):
+        if len(boxes) == 0:
+            continue
+        b = boxes[np.argmax((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))]
+        # detection box overlaps ground truth and is person-scale (not frame)
+        ix = max(0.0, min(b[2], g[2]) - max(b[0], g[0]))
+        iy = max(0.0, min(b[3], g[3]) - max(b[1], g[1]))
+        if ix * iy > 0.3 * (g[2] - g[0]) * (g[3] - g[1]):
+            hits += 1
+    assert hits >= len(frames) // 2, f"only {hits} frames detected"
+
+
+def test_tracked_crop_contains_and_centers_person():
+    frames, gt = _scene()
+    H, W = frames.shape[1:3]
+    tracked = track_person_boxes(frames)
+    assert tracked is not None, "detector fell back to full frame"
+
+    active = None
+    for b in tracked:
+        active = update_active_boxes(b, active)
+    box = fmt_active_boxes(active, (H, W), factor=1.25)
+    # the crop box is much smaller than the frame and contains every gt box
+    assert (box[2] - box[0]) * (box[3] - box[1]) < 0.5 * H * W
+    assert box[0] <= gt[:, 0].min() and box[1] <= gt[:, 1].min()
+    assert box[2] >= gt[:, 2].max() and box[3] >= gt[:, 3].max()
+
+    # cropping the middle frame centers the person
+    i = len(frames) // 2
+    crop, geom = process_crop_img(frames[i], box, 64)
+    fg = np.abs(crop - np.asarray([0.9, -0.7, 0.4])).sum(-1) < 0.5
+    assert fg.any(), "person missing from crop"
+    ys, xs = np.nonzero(fg)
+    cy, cx = ys.mean() / 64, xs.mean() / 64
+    assert 0.25 < cy < 0.75 and 0.25 < cx < 0.75, (cy, cx)
+    # the person occupies far more of the crop than of the raw frame
+    raw_frac = (gt[i, 2] - gt[i, 0]) * (gt[i, 3] - gt[i, 1]) / (H * W)
+    assert fg.mean() > 2.0 * raw_frac
+
+
+def test_single_image_falls_back():
+    frames, _ = _scene(n=1)
+    assert track_person_boxes(frames) is None
+
+
+def test_static_person_with_camera_noise_none_or_box():
+    # pure noise, no person: should not hallucinate a tiny box
+    rng = np.random.RandomState(1)
+    frames = rng.uniform(-1, 1, (6, 80, 80, 3)).astype(np.float32)
+    out = track_person_boxes(frames)
+    # either no detection (fallback) or a near-full-frame union — caller's
+    # fmt_active_boxes keeps behavior sane either way
+    if out is not None:
+        u = [out[:, 0].min(), out[:, 1].min(), out[:, 2].max(), out[:, 3].max()]
+        assert (u[2] - u[0]) * (u[3] - u[1]) >= 0.01 * 80 * 80
