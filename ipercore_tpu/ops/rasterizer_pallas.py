@@ -43,13 +43,21 @@ _BIG = 1e30  # python float: jnp scalars would be captured as kernel constants
 
 
 def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
-    """Bin faces to pixel tiles by bbox overlap.
+    """Bin faces to pixel tiles by bbox overlap, nearest-first.
+
+    Slots are assigned in order of increasing face min-depth, so when a tile
+    overflows its k-slot capacity the *farthest* (almost surely occluded)
+    faces are the ones dropped — overflow degrades to correct-or-near-correct
+    pixels instead of silently losing the visible surface. The true per-tile
+    load is returned so callers can detect overflow (`max_tile_load > k`).
 
     Returns:
-        params: (n_tiles, k, 12) f32 — rows of the barycentric matrix (9)
-            + per-vertex depth (3) for each binned face;
+        params: (n_tiles, k, 16) f32 — barycentric matrix rows (9) +
+            per-vertex depth (3) + NDC bbox (4) for each binned face;
         ids: (n_tiles, k) int32 global face id (for unbinned slots: arbitrary);
-        mask: (n_tiles, k) bool — slot holds a real overlapping face.
+        mask: (n_tiles, k) bool — slot holds a real overlapping face;
+        true_counts: (n_tiles,) int32 — overlapping faces per tile BEFORE the
+            k cap (overflow iff > k).
     """
     S = size
     gy, gx = S // TILE_H, S // TILE_W
@@ -83,10 +91,21 @@ def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
     overlap = overlap & valid[None, None, :]
     overlap = overlap.reshape(n_tiles, -1)
 
+    true_counts = jnp.sum(overlap, axis=1).astype(jnp.int32)  # (n_tiles,)
+
     F = overlap.shape[1]
-    if F < k:  # pad face axis so k faces can always be binned
-        overlap = jnp.pad(overlap, ((0, 0), (0, k - F)))
-    score, ids = jax.lax.top_k(overlap.astype(jnp.int8), k)  # (n_tiles, k)
+    # Nearest-first priority: rank faces by min vertex depth (ascending) and
+    # give nearer faces higher top_k scores, so the k binned faces per tile
+    # are the k nearest — overflow drops far/occluded faces first.
+    minz = jnp.min(z, axis=-1)
+    order = jnp.argsort(minz)  # (F,) nearest first
+    prio = jnp.zeros((F,), jnp.int32).at[order].set(
+        jnp.arange(F, 0, -1, dtype=jnp.int32))  # nearest -> F, farthest -> 1
+    if overlap.shape[1] < k:  # pad face axis so k faces can always be binned
+        overlap = jnp.pad(overlap, ((0, 0), (0, k - overlap.shape[1])))
+        prio = jnp.pad(prio, (0, k - prio.shape[0]))
+    score, ids = jax.lax.top_k(
+        overlap.astype(jnp.int32) * prio[None, :], k)  # (n_tiles, k)
     ids = jnp.minimum(ids, F - 1)
     mask = score > 0
     ids = ids.astype(jnp.int32)
@@ -96,7 +115,7 @@ def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
         [jnp.min(x, -1), jnp.max(x, -1), jnp.min(y, -1), jnp.max(y, -1)], axis=-1)
     params = jnp.concatenate([M.reshape(-1, 9), z, bbox], axis=-1)  # (F, 16)
     tile_params = jnp.take(params, ids, axis=0)  # (n_tiles, k, 16)
-    return tile_params, ids, mask
+    return tile_params, ids, mask, true_counts
 
 
 def _raster_kernel(count_ref, params_ref, mask_ref, local_ref, zout_ref, *, size, k, chunk, gx_tiles):
@@ -168,13 +187,14 @@ def _raster_kernel(count_ref, params_ref, mask_ref, local_ref, zout_ref, *, size
     zout_ref[:, :] = best_z
 
 
-@functools.partial(jax.jit, static_argnames=("size", "k", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("size", "k", "chunk", "interpret", "with_stats"))
 def rasterize_pallas(
     face_verts: jnp.ndarray,
     size: int,
     k: int = 2048,
     chunk: int = 128,
     interpret: bool = False,
+    with_stats: bool = False,
 ) -> RasterOutput:
     """Tile-binned Pallas rasterization of one frame.
 
@@ -182,19 +202,22 @@ def rasterize_pallas(
         face_verts: (F, 3, 3) projected faces (same contract as
             `rasterizer.rasterize`).
         size: image size S (multiple of 128).
-        k: max faces binned per (8, 128) tile (overflow faces are dropped —
-            choose k above the densest tile's face count).
+        k: max faces binned per (8, 128) tile. Binning is nearest-first, so
+            beyond-k overflow drops the farthest (occluded) faces; detect it
+            via `with_stats`.
         chunk: faces per VMEM processing step (divides k).
+        with_stats: also return {"max_tile_load", "n_overflow_tiles"} so
+            callers/benches can assert k is adequate.
 
     Returns:
-        RasterOutput(fim (S, S) int32, wim (S, S, 3) f32).
+        RasterOutput(fim (S, S) int32, wim (S, S, 3) f32) [, stats dict].
     """
     S = size
     assert S % TILE_W == 0 and S % TILE_H == 0, "size must be a multiple of 128"
     gy, gx = S // TILE_H, S // TILE_W
     n_tiles = gy * gx
 
-    tile_params, ids, mask = _bin_faces(face_verts, size, k)
+    tile_params, ids, mask, true_counts = _bin_faces(face_verts, size, k)
     maskf = mask.astype(jnp.float32)[..., None]  # (n_tiles, k, 1)
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # (n_tiles,)
 
@@ -243,7 +266,14 @@ def rasterize_pallas(
     wim = jnp.einsum("pab,pb->pa", Mw, pix,
                      precision=jax.lax.Precision.HIGHEST)
     wim = jnp.where((fim.ravel() >= 0)[:, None], wim, 0.0).reshape(S, S, 3)
-    return RasterOutput(fim=fim, wim=wim)
+    out = RasterOutput(fim=fim, wim=wim)
+    if with_stats:
+        stats = {
+            "max_tile_load": jnp.max(true_counts),
+            "n_overflow_tiles": jnp.sum(true_counts > k),
+        }
+        return out, stats
+    return out
 
 
 def rasterize_pallas_batch(face_verts: jnp.ndarray, size: int, k: int = 2048,
@@ -385,7 +415,7 @@ def rasterize_flows_pallas(
     n_tiles = gy * gx
     J = aux_pts.shape[0]
 
-    tile_params, ids, mask = _bin_faces(face_verts, size, k)  # (n_tiles, k, 16)
+    tile_params, ids, mask, _true_counts = _bin_faces(face_verts, size, k)
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)
     # append aux columns: (J, F, 3, 2) -> (F, 6J), gathered per tile
     aux_flat = jnp.transpose(aux_pts, (1, 0, 2, 3)).reshape(aux_pts.shape[1], J * 6)

