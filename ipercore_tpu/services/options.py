@@ -183,10 +183,18 @@ def setup(cfg_path: Optional[str] = None, extra_args: Iterable[str] = ()) -> Att
     import copy
 
     cfg = load_toml(cfg_path) if cfg_path else AttrDict(copy.deepcopy(dict(DEFAULT_CFG)))
-    # merge missing defaults
-    for k, v in DEFAULT_CFG.items():
-        if k not in cfg:
-            cfg[k] = v
+
+    def fill_defaults(dst, src):
+        """Recursive default merge: a user config with a partial [Train]
+        table must still inherit the remaining Train defaults (a shallow
+        merge silently dropped them — found driving the CLI)."""
+        for k, v in src.items():
+            if k not in dst:
+                dst[k] = copy.deepcopy(v)
+            elif isinstance(v, Mapping) and isinstance(dst[k], Mapping):
+                fill_defaults(dst[k], v)
+
+    fill_defaults(cfg, DEFAULT_CFG)
     update_extra_args(cfg, extra_args)
     return cfg
 

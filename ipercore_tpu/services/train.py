@@ -19,7 +19,7 @@ import numpy as np
 from ipercore_tpu.services.meta_info import checkpoints_dir
 from ipercore_tpu.utils.checkpoint import (
     find_latest_iter,
-    load_params,
+    load_train_ckpt,
     save_train_ckpt,
 )
 from ipercore_tpu.utils.logging import MetricsLogger
@@ -69,18 +69,17 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         lr_g=float(tr.lr_G), lr_d=float(tr.lr_D),
         use_face=bool(tr.use_face),
         temporal=bool(opt.get("temporal", False)),
+        niters_no_decay=int(tr.get("niters_or_epochs_no_decay", 0)),
+        niters_decay=int(tr.get("niters_or_epochs_decay", 0)),
     )
     state = T.create_train_state(jax.random.PRNGKey(0), gen, dis, comp, cfg, ns=ns, nt=nt)
 
-    # resume — `options_train.py:34-53`
+    # resume params + BOTH Adam states — `options_train.py:34-53` +
+    # `trainers/base.py:76-117`
     ckpt_dir = checkpoints_dir(opt.output_dir, opt.model_id)
     start_iter, g_path = find_latest_iter(ckpt_dir, "G")
     if g_path:
-        params_G = load_params(g_path, like=state.params_G)
-        _, d_path = find_latest_iter(ckpt_dir, "D")
-        params_D = load_params(d_path, like=state.params_D) if d_path else state.params_D
-        state = state._replace(params_G=params_G, params_D=params_D,
-                               step=jnp.asarray(start_iter, jnp.int32))
+        state = load_train_ckpt(ckpt_dir, start_iter, state)
 
     mesh = make_mesh("data")
     n_dev = mesh.devices.size
@@ -93,7 +92,10 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         image_size=S, num_source=ns, time_step=nt,
     )
     batch_size = max(int(opt.get("batch_size", 1)) * n_dev, n_dev)
-    it = ds.iterate(batch_size)
+    from ipercore_tpu.data.prefetch import prefetch
+
+    # overlap host decode with the device step (ref: DataLoader workers)
+    it = prefetch(ds.iterate(batch_size), depth=int(opt.get("prefetch_depth", 2)))
 
     logger = MetricsLogger(os.path.join(ckpt_dir, "train_log.jsonl"))
     total = max_iters if max_iters is not None else int(tr.get("total_iters", 400_000))
@@ -112,11 +114,15 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
             last_print = now
         if now - last_save > save_every_s:
             save_train_ckpt(ckpt_dir, i, jax.device_get(state.params_G),
-                            jax.device_get(state.params_D))
+                            jax.device_get(state.params_D),
+                            opt_G=jax.device_get(state.opt_G),
+                            opt_D=jax.device_get(state.opt_D))
             last_save = now
 
     save_train_ckpt(ckpt_dir, total, jax.device_get(state.params_G),
-                    jax.device_get(state.params_D))
+                    jax.device_get(state.params_D),
+                    opt_G=jax.device_get(state.opt_G),
+                    opt_D=jax.device_get(state.opt_D))
     return {k: float(v) for k, v in metrics.items()}
 
 

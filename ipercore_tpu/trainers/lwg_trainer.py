@@ -42,6 +42,28 @@ class TrainConfig(NamedTuple):
     use_gan: bool = True
     aug_bg: bool = False
     temporal: bool = False
+    # lr schedule — reference keeps lr constant for `niters_no_decay` then
+    # decays linearly to 0 over `niters_decay` (`trainers/base.py` LambdaLR).
+    # niters_decay = 0 -> constant lr.
+    niters_no_decay: int = 0
+    niters_decay: int = 0
+
+
+def _schedule(lr: float, cfg: "TrainConfig"):
+    if cfg.niters_decay <= 0:
+        return lr
+    return optax.join_schedules(
+        [optax.constant_schedule(lr),
+         optax.linear_schedule(lr, 0.0, cfg.niters_decay)],
+        [max(cfg.niters_no_decay, 1)])
+
+
+def make_optimizers(cfg: "TrainConfig"):
+    """The two Adams (b1=0.5) with the reference's constant-then-linear-decay
+    lr schedule — `lwg_trainer.py:104-175` + `base.py` schedulers."""
+    tx_g = optax.adam(_schedule(cfg.lr_g, cfg), b1=0.5, b2=0.999)
+    tx_d = optax.adam(_schedule(cfg.lr_d, cfg), b1=0.5, b2=0.999)
+    return tx_g, tx_d
 
 
 class LWGTrainState(NamedTuple):
@@ -113,8 +135,7 @@ def create_train_state(
     bbox = jnp.asarray([[-0.5, -0.5, 0.5, 0.5]])
     params_D = jax.jit(lambda r: discriminator.init(r, x, None, bbox, bbox))(rng_d)
 
-    tx_g = optax.adam(cfg.lr_g, b1=0.5, b2=0.999)
-    tx_d = optax.adam(cfg.lr_d, b1=0.5, b2=0.999)
+    tx_g, tx_d = make_optimizers(cfg)
     return LWGTrainState(
         params_G=params_G,
         params_D=params_D,
@@ -199,8 +220,7 @@ def train_step(
     tsf_cond = input_G_tsf[..., 3:6].reshape(bs * nt, S, S, 3)
     real_tsf = ref_img.reshape(bs * nt, S, S, 3)
 
-    tx_g = optax.adam(cfg.lr_g, b1=0.5, b2=0.999)
-    tx_d = optax.adam(cfg.lr_d, b1=0.5, b2=0.999)
+    tx_g, tx_d = make_optimizers(cfg)
 
     # ------------------------------------------------------------------ G
     def g_loss_fn(params_G):

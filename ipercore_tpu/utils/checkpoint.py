@@ -76,11 +76,65 @@ def find_latest_iter(ckpt_dir: str, net_id: str = "G") -> tuple[int, Optional[st
     return best, best_path
 
 
-def save_train_ckpt(ckpt_dir: str, step: int, params_G, params_D) -> None:
-    """`net_iter_<it>_id_<G/D>` semantics (`trainers/base.py:76-94`)."""
+def save_pytree(path: str, tree: Any) -> None:
+    """Persist an arbitrary pytree (e.g. optax optimizer state: NamedTuples of
+    arrays) as ordered npz leaves. Restore with `load_pytree(path, like)`."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    flat = {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Load leaves saved by `save_pytree` back into `like`'s structure."""
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        leaves = [z[k] for k in sorted(z.files)]
+    treedef = jax.tree_util.tree_structure(like)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} saved leaves vs {treedef.num_leaves} expected "
+            "— optimizer/config structure changed since the checkpoint")
+    return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(l) for l in leaves])
+
+
+def save_train_ckpt(ckpt_dir: str, step: int, params_G, params_D,
+                    opt_G=None, opt_D=None) -> None:
+    """`net_iter_<it>_id_<G/D>` + `opt_iter_<it>_id_<G/D>` semantics
+    (`trainers/base.py:76-117`): params AND both Adam states, so resume does
+    not silently reset the optimizers (round-1 gap)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     save_params(os.path.join(ckpt_dir, f"net_iter_{step}_id_G.npz"), params_G)
     save_params(os.path.join(ckpt_dir, f"net_iter_{step}_id_D.npz"), params_D)
+    if opt_G is not None:
+        save_pytree(os.path.join(ckpt_dir, f"opt_iter_{step}_id_G.npz"), opt_G)
+    if opt_D is not None:
+        save_pytree(os.path.join(ckpt_dir, f"opt_iter_{step}_id_D.npz"), opt_D)
+
+
+def load_train_ckpt(ckpt_dir: str, step: int, like_state):
+    """Restore params + optimizer states saved by `save_train_ckpt` into a
+    freshly-initialized LWGTrainState-like NamedTuple. Missing opt files
+    (old checkpoints) keep the fresh optimizer state."""
+    import jax.numpy as jnp
+
+    params_G = load_params(
+        os.path.join(ckpt_dir, f"net_iter_{step}_id_G.npz"), like=like_state.params_G)
+    d_path = os.path.join(ckpt_dir, f"net_iter_{step}_id_D.npz")
+    params_D = (load_params(d_path, like=like_state.params_D)
+                if os.path.exists(d_path) else like_state.params_D)
+    og_path = os.path.join(ckpt_dir, f"opt_iter_{step}_id_G.npz")
+    od_path = os.path.join(ckpt_dir, f"opt_iter_{step}_id_D.npz")
+    opt_G = load_pytree(og_path, like_state.opt_G) if os.path.exists(og_path) else like_state.opt_G
+    opt_D = load_pytree(od_path, like_state.opt_D) if os.path.exists(od_path) else like_state.opt_D
+    return like_state._replace(
+        params_G=params_G, params_D=params_D, opt_G=opt_G, opt_D=opt_D,
+        step=jnp.asarray(step, jnp.int32))
 
 
 # --- torch conversion --------------------------------------------------------

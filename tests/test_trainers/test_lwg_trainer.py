@@ -80,6 +80,50 @@ def test_single_device_train_step(rig):
     assert max(jax.tree_util.tree_leaves(deltas)) > 0
 
 
+def test_ckpt_restores_optimizer_state(rig, tmp_path):
+    """Resume must restore BOTH Adam states, not just params — the round-1
+    gap where resume silently reset the optimizers (ref `base.py:76-117`)."""
+    import functools
+
+    from ipercore_tpu.utils.checkpoint import save_train_ckpt, load_train_ckpt
+
+    comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state = rig
+    step = jax.jit(functools.partial(
+        T.train_step, comp=comp, generator=gen, discriminator=dis, vgg=vgg,
+        vgg_params=vgg_params, face=face, face_params=face_params, cfg=cfg, ns=NS))
+    s1, _ = step(state, _batch(0))
+    s2, _ = step(s1, _batch(1))
+
+    d = str(tmp_path)
+    save_train_ckpt(d, int(s2.step), jax.device_get(s2.params_G),
+                    jax.device_get(s2.params_D),
+                    opt_G=jax.device_get(s2.opt_G), opt_D=jax.device_get(s2.opt_D))
+
+    fresh = T.create_train_state(jax.random.PRNGKey(9), gen, dis, comp, cfg, ns=NS, nt=NT)
+    restored = load_train_ckpt(d, 2, fresh)
+    assert int(restored.step) == 2
+    # every optimizer leaf (Adam mu/nu/count) restored exactly
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_G),
+                    jax.tree_util.tree_leaves(s2.opt_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues identically from the restored state
+    s3a, ma = step(s2, _batch(2))
+    s3b, mb = step(restored, _batch(2))
+    np.testing.assert_allclose(float(ma["g_total"]), float(mb["g_total"]), rtol=1e-5)
+    la = jax.tree_util.tree_leaves(s3a.params_G)
+    lb = jax.tree_util.tree_leaves(s3b.params_G)
+    assert max(float(jnp.abs(x - y).max()) for x, y in zip(la, lb)) < 1e-5
+
+
+def test_lr_schedule_decays():
+    cfg = T.TrainConfig(lr_g=1e-4, niters_no_decay=10, niters_decay=10)
+    sched = T._schedule(cfg.lr_g, cfg)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(10)) == pytest.approx(1e-4)
+    assert float(sched(15)) == pytest.approx(0.5e-4)
+    assert float(sched(20)) == pytest.approx(0.0)
+
+
 def test_sharded_train_step_compiles(rig):
     comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state = rig
     from ipercore_tpu.parallel.mesh import make_mesh
