@@ -6,9 +6,13 @@ heatmap heads) and the fast single-scale decode (`post_process.py` infer_fast:
 heatmap NMS -> peak coords). Weight conversion from the torch checkpoint uses
 `ipercore_tpu.utils.checkpoint.convert_torch_state_dict`.
 
-The full greedy PAF part-association of the reference is replaced by the
-single-person argmax decode (the pipeline tracks one person — the reference's
-tracker picks one person anyway, `runner.py:151-205`).
+Two decode paths:
+  * `decode_single_person` — per-joint argmax, the fast path when one person
+    is guaranteed (the tracked crop);
+  * `OpenPoseRunner.run_tracked` — full heatmap NMS + greedy PAF grouping +
+    largest-person pick + 1-euro temporal filter
+    (`ipercore_tpu.tools.pose2d_decode`, parity with `post_process.py:94-300`
+    and `utils/one_euro_filter.py`).
 """
 from __future__ import annotations
 
@@ -122,6 +126,42 @@ class OpenPoseRunner:
         paf, hm = self._apply(self.params, x)
         kps, scores, valid = decode_single_person(hm)
         return np.asarray(kps), np.asarray(scores), np.asarray(valid)
+
+    def run_tracked(self, images: np.ndarray, smooth: bool = True):
+        """Correct path for multi-person frames — `run_over_folder`
+        (`runner.py:207`): full NMS + PAF grouping per frame, largest-person
+        pick, optional 1-euro temporal filter. Falls back to the argmax decode
+        per-frame when grouping finds nobody.
+
+        Returns the same (kps, scores, valid) contract as `run` (NDC coords).
+        """
+        from ipercore_tpu.tools.pose2d_decode import (
+            OneEuroFilter, decode_multi_person, pick_largest_person)
+
+        x = jnp.asarray(images) * 0.5
+        paf, hm = self._apply(self.params, x)
+        paf_n, hm_n = np.asarray(paf), np.asarray(hm)
+        kps_a, scores_a, valid_a = decode_single_person(hm)
+        kps_a, scores_a = np.asarray(kps_a), np.asarray(scores_a)
+
+        h, w = hm_n.shape[1:3]
+        out_kps = np.array(kps_a)
+        out_scores = np.array(scores_a)
+        filt = OneEuroFilter() if smooth else None
+        for i in range(len(hm_n)):
+            people = decode_multi_person(hm_n[i], paf_n[i])
+            best = pick_largest_person(people)
+            if best is not None:
+                px = best["kps"]  # (25, 2) pixel coords, NaN missing
+                ndc = np.stack([(2 * px[:, 0] + 1 - w) / w,
+                                (2 * px[:, 1] + 1 - h) / h], axis=1)
+                take = np.isfinite(ndc[:, 0])
+                out_kps[i][take] = ndc[take]
+                out_scores[i][take] = best["scores"][take]
+            if filt is not None:
+                out_kps[i] = filt(out_kps[i])
+        valid = out_scores > 0.1
+        return out_kps.astype(np.float32), out_scores, valid
 
 
 # Body-25 -> cocoplus-19 joint mapping (role of the keypoint formatters,
