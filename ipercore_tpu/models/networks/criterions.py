@@ -81,28 +81,66 @@ def perceptual_loss(feat_params, apply_fn, pred: jnp.ndarray, target: jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
-class SphereFaceFeatures(nn.Module):
-    """Sphere20a feature trunk: 4 stages of strided conv + PReLU-ish residuals.
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU with the torch parameter name ('weight')."""
 
-    Emits the per-stage activations used by the reference's 5-level L1 face
-    loss (`faceloss.py:289-433`). Input: (N, 112, 96, 3).
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("weight", nn.initializers.constant(0.25), (self.features,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class SphereFaceFeatures(nn.Module):
+    """EXACT Sphere20a trunk — `faceloss.py:203-287`: conv{s}_{i} + per-channel
+    PReLU (relu{s}_{i}), residual pairs, fc5 on the flattened (512, 7, 6)
+    stage-4 map. Layer/parameter names match the torch checkpoint keys so
+    `torch_convert.convert_sphereface` drops pretrained weights in.
+
+    Emits the 5 per-stage activations used by the reference's face loss.
+    Input: (N, 112, 96, 3).
     """
 
     @nn.compact
     def __call__(self, x):
+        def conv(name, width, stride=1):
+            return nn.Conv(width, (3, 3), strides=(stride, stride),
+                           padding=PAD3, name=name)
+
+        def prelu(name, width):
+            return ChannelPReLU(width, name=name)
+
+        def res_pair(x, s, i, width):
+            h = prelu(f"relu{s}_{i}", width)(conv(f"conv{s}_{i}", width)(x))
+            h = prelu(f"relu{s}_{i + 1}", width)(conv(f"conv{s}_{i + 1}", width)(h))
+            return x + h
+
         feats = []
-        stage_specs = ((64, 1), (128, 2), (256, 4), (512, 1))
-        for si, (width, n_res) in enumerate(stage_specs):
-            x = nn.Conv(width, (3, 3), strides=(2, 2), padding=PAD3, name=f"stage{si}_down")(x)
-            x = nn.leaky_relu(x, 0.25)
-            for ri in range(n_res):
-                h = nn.Conv(width, (3, 3), padding=PAD3, name=f"stage{si}_res{ri}_a")(x)
-                h = nn.leaky_relu(h, 0.25)
-                h = nn.Conv(width, (3, 3), padding=PAD3, name=f"stage{si}_res{ri}_b")(h)
-                h = nn.leaky_relu(h, 0.25)
-                x = x + h
-            feats.append(x)
-        x = x.reshape(x.shape[0], -1)
+        x = prelu("relu1_1", 64)(conv("conv1_1", 64, 2)(x))
+        x = res_pair(x, 1, 2, 64)
+        feats.append(x)
+
+        x = prelu("relu2_1", 128)(conv("conv2_1", 128, 2)(x))
+        x = res_pair(x, 2, 2, 128)
+        x = res_pair(x, 2, 4, 128)
+        feats.append(x)
+
+        x = prelu("relu3_1", 256)(conv("conv3_1", 256, 2)(x))
+        x = res_pair(x, 3, 2, 256)
+        x = res_pair(x, 3, 4, 256)
+        x = res_pair(x, 3, 6, 256)
+        x = res_pair(x, 3, 8, 256)
+        feats.append(x)
+
+        x = prelu("relu4_1", 512)(conv("conv4_1", 512, 2)(x))
+        x = res_pair(x, 4, 2, 512)
+        feats.append(x)
+
+        # torch flattens NCHW (C, H, W): permute before the dense layer so
+        # converted fc5 weights are a pure reshape away
+        n = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
         x = nn.Dense(512, name="fc5")(x)
         feats.append(x)
         return feats

@@ -29,58 +29,102 @@ N_BODY25_JOINTS = 25
 N_BODY25_PAFS = 52
 
 
-class VGGBackbone(nn.Module):
-    """First 10 VGG-19 conv layers + 2 CPM convs (OpenPose stem)."""
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU with torch's parameter name ('weight')."""
+
+    features: int
 
     @nn.compact
     def __call__(self, x):
-        widths = (64, 64, "p", 128, 128, "p", 256, 256, 256, 256, "p", 512, 512)
-        for w in widths:
-            if w == "p":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            else:
-                x = nn.relu(nn.Conv(int(w), (3, 3), padding=PAD3)(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding=PAD3)(x))
-        x = nn.relu(nn.Conv(128, (3, 3), padding=PAD3)(x))
+        a = self.param("weight", nn.initializers.constant(0.25), (self.features,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class OpenPoseStem(nn.Module):
+    """model0 — VGG stem + CPM convs with PReLU tails
+    (`openposenet.py:247-276` build_model0). Layer names match the torch
+    checkpoint keys ('model0.conv1_1.weight', ...)."""
+
+    @nn.compact
+    def __call__(self, x):
+        def c(name, width):
+            return nn.Conv(width, (3, 3), padding=PAD3, name=name)
+
+        x = nn.relu(c("conv1_1", 64)(x))
+        x = nn.relu(c("conv1_2", 64)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(c("conv2_1", 128)(x))
+        x = nn.relu(c("conv2_2", 128)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(c("conv3_1", 256)(x))
+        x = nn.relu(c("conv3_2", 256)(x))
+        x = nn.relu(c("conv3_3", 256)(x))
+        x = nn.relu(c("conv3_4", 256)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(c("conv4_1", 512)(x))
+        x = ChannelPReLU(512, name="prelu4_2")(c("conv4_2", 512)(x))
+        x = ChannelPReLU(256, name="prelu4_3_CPM")(c("conv4_3_CPM", 256)(x))
+        x = ChannelPReLU(128, name="prelu4_4_CPM")(c("conv4_4_CPM", 128)(x))
         return x
 
 
-class OpenPoseStage(nn.Module):
-    """One refinement stage: 5 conv blocks + 2 1x1 heads."""
+class StackMConv(nn.Module):
+    """One OpenPose-1.5 refinement stage: 5 dense triple-MConv blocks +
+    1x1 squeeze + 1x1 head (`openposenet.py:60-170` MConvBlock/StackMConvBlock).
 
-    out_channels: int
-    first: bool = False
+    Parameter names mirror the torch checkpoint ('Mconv{i}_stage{s}_L{l}_{col}'
+    and 'Mprelu...'), flattened one level (torch nests them under
+    main.{i}.split{col}; name uniqueness makes the flat layout unambiguous).
+    """
+
+    stage: int
+    l_name: int
+    mid: int          # 96 (stage 0) or 128 (later stages)
+    out_channels: int  # 52 PAFs (L2) / 26 heatmaps (L1)
 
     @nn.compact
     def __call__(self, x):
-        k, n = ((3, 3), 3) if self.first else ((7, 7), 5)
-        pad = ((k[0] // 2, k[0] // 2),) * 2
-        width = 96 if self.first else 128
-        for _ in range(n):
-            x = nn.relu(nn.Conv(width, k, padding=pad)(x))
-        x = nn.relu(nn.Conv(256 if self.first else 128, (1, 1))(x))
-        return nn.Conv(self.out_channels, (1, 1))(x)
+        s, l = self.stage, self.l_name
+
+        def triple(x, i):
+            outs = []
+            h = x
+            for col in range(3):
+                h = nn.Conv(self.mid, (3, 3), padding=PAD3,
+                            name=f"Mconv{i}_stage{s}_L{l}_{col}")(h)
+                h = ChannelPReLU(self.mid, name=f"Mprelu{i}_stage{s}_L{l}_{col}")(h)
+                outs.append(h)
+            return jnp.concatenate(outs, axis=-1)
+
+        for i in range(1, 6):
+            x = triple(x, i)
+        squeeze = 256 if self.mid == 96 else 512
+        x = nn.Conv(squeeze, (1, 1), name=f"Mconv6_stage{s}_L{l}")(x)
+        x = ChannelPReLU(squeeze, name=f"Mprelu6_stage{s}_L{l}")(x)
+        return nn.Conv(self.out_channels, (1, 1), name=f"Mconv7_stage{s}_L{l}")(x)
 
 
 class OpenPoseBody25(nn.Module):
-    """Body-25 OpenPose: stem -> 4 PAF stages -> 2 heatmap stages
-    (`openposenet.py:178-507` topology)."""
-
-    n_paf_stages: int = 4
-    n_hm_stages: int = 2
+    """Body-25 OpenPose 1.5: model0 stem -> 4 PAF (L2) stages -> 2 heatmap
+    (L1) stages with dense MConv blocks — exact architecture of
+    `openposenet.py:178-330`, so the published body25 checkpoint converts
+    key-for-key (`torch_convert.convert_openpose`)."""
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) in [-0.5, 0.5]. Returns (pafs, heatmaps) at H/8."""
-        feat = VGGBackbone()(x)
-        paf = OpenPoseStage(N_BODY25_PAFS, first=True)(feat)
-        for _ in range(self.n_paf_stages - 1):
-            paf = OpenPoseStage(N_BODY25_PAFS)(jnp.concatenate([feat, paf], axis=-1))
-        hm = OpenPoseStage(N_BODY25_JOINTS + 1, first=False)(
+        feat = OpenPoseStem(name="model0")(x)
+        paf = StackMConv(0, 2, 96, N_BODY25_PAFS, name="block02")(feat)
+        paf = StackMConv(1, 2, 128, N_BODY25_PAFS, name="block12")(
             jnp.concatenate([feat, paf], axis=-1))
-        for _ in range(self.n_hm_stages - 1):
-            hm = OpenPoseStage(N_BODY25_JOINTS + 1)(
-                jnp.concatenate([feat, paf, hm], axis=-1))
+        paf = StackMConv(2, 2, 128, N_BODY25_PAFS, name="block22")(
+            jnp.concatenate([feat, paf], axis=-1))
+        paf = StackMConv(3, 2, 128, N_BODY25_PAFS, name="block32")(
+            jnp.concatenate([feat, paf], axis=-1))
+        hm = StackMConv(0, 1, 96, N_BODY25_JOINTS + 1, name="block01")(
+            jnp.concatenate([feat, paf], axis=-1))
+        hm = StackMConv(1, 1, 128, N_BODY25_JOINTS + 1, name="block11")(
+            jnp.concatenate([feat, paf, hm], axis=-1))
         return paf, hm
 
 

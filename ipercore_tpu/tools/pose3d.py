@@ -27,40 +27,63 @@ from ipercore_tpu.models.networks.blocks import PAD3
 HMR_IMG_SIZE = 224
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm with the torch parameter set (scale/bias +
+    running mean/var) held as plain params — SPIN checkpoints are BatchNorm
+    (`spin/network.py:30-90`), so the trunk must be too (round 1 used
+    GroupNorm, making weight conversion impossible)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = scale * jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv + bias
+
+
 class Bottleneck(nn.Module):
+    """torchvision-style bottleneck; module names match the checkpoint keys
+    (conv1/bn1/conv2/bn2/conv3/bn3, downsample.{0,1})."""
+
     features: int
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        y = nn.relu(nn.GroupNorm(num_groups=32)(y))
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(FrozenBatchNorm(self.features, name="bn1")(y))
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding=PAD3, use_bias=False)(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32)(y))
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=32)(y)
+                    padding=PAD3, use_bias=False, name="conv2")(y)
+        y = nn.relu(FrozenBatchNorm(self.features, name="bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = FrozenBatchNorm(self.features * 4, name="bn3")(y)
         if residual.shape[-1] != self.features * 4 or self.stride != 1:
             residual = nn.Conv(self.features * 4, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False)(x)
-            residual = nn.GroupNorm(num_groups=32)(residual)
+                               strides=(self.stride,) * 2, use_bias=False,
+                               name="downsample_conv")(x)
+            residual = FrozenBatchNorm(self.features * 4, name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 trunk (GroupNorm in place of frozen BatchNorm — equivalent
-    inference statistics handling without mutable state)."""
+    """ResNet-50 trunk with frozen BatchNorm, checkpoint-named modules."""
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
-        x = nn.relu(nn.GroupNorm(num_groups=32)(x))
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(64, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (blocks, width) in enumerate(((3, 64), (4, 128), (6, 256), (3, 512))):
             for b in range(blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
-                x = Bottleneck(width, stride)(x)
+                x = Bottleneck(width, stride, name=f"layer{i + 1}_{b}")(x)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
 
 
@@ -73,11 +96,11 @@ class SPINRegressor(nn.Module):
     @nn.compact
     def __call__(self, feats, init_pose, init_shape, init_cam):
         pose, shape, cam = init_pose, init_shape, init_cam
-        fc1 = nn.Dense(1024)
-        fc2 = nn.Dense(1024)
-        dec_pose = nn.Dense(24 * 6)
-        dec_shape = nn.Dense(10)
-        dec_cam = nn.Dense(3)
+        fc1 = nn.Dense(1024, name="fc1")
+        fc2 = nn.Dense(1024, name="fc2")
+        dec_pose = nn.Dense(24 * 6, name="decpose")
+        dec_shape = nn.Dense(10, name="decshape")
+        dec_cam = nn.Dense(3, name="deccam")
         for _ in range(self.n_iter):
             x = jnp.concatenate([feats, pose, shape, cam], axis=-1)
             x = nn.relu(fc1(x))
@@ -97,13 +120,13 @@ class SPINNet(nn.Module):
 
         Returns: pose6d (N, 144), shape (N, 10), cam (N, 3)."""
         n = images.shape[0]
-        feats = ResNet50()(images)
+        feats = ResNet50(name="backbone")(images)
         init_pose = self.param(
             "init_pose", nn.initializers.zeros, (1, 24 * 6))
         init_shape = self.param("init_shape", nn.initializers.zeros, (1, 10))
         init_cam = self.param(
             "init_cam", lambda k, s: jnp.asarray([[0.9, 0.0, 0.0]]), (1, 3))
-        pose, shape, cam = SPINRegressor()(
+        pose, shape, cam = SPINRegressor(name="regressor")(
             feats,
             jnp.broadcast_to(init_pose, (n, 144)),
             jnp.broadcast_to(init_shape, (n, 10)),
@@ -165,14 +188,99 @@ def gmof(x: jnp.ndarray, sigma: float = 100.0) -> jnp.ndarray:
 
 
 def angle_prior(pose_aa: jnp.ndarray) -> jnp.ndarray:
-    """Penalize unnatural knee/elbow bending — `losses.py:222`.
+    """Penalize unnatural knee/elbow bending — `smplify/losses.py:20-26`.
 
-    pose_aa: (N, 72). Joint ids 4, 5 (knees), 18, 19 (elbows); sign-specific.
+    pose_aa: (N, 72) INCLUDING the global orient. The reference indexes a
+    69-dim body pose with [52, 55, 9, 12]; with the 3-dim global orient
+    prepended those joints are at [55, 58, 12, 15]: elbow-y (joints 18, 19)
+    and knee-x (joints 4, 5), sign-specific.
     """
-    idx = jnp.asarray([52, 55, 9, 12])  # 3*17+1, 3*18+1, 3*2+... reference convention
+    idx = jnp.asarray([55, 58, 12, 15])
     sign = jnp.asarray([1.0, -1.0, -1.0, -1.0])
     vals = pose_aa[:, idx] * sign
     return jnp.sum(jnp.exp(vals) ** 2, axis=-1)
+
+
+class GMMPosePrior(NamedTuple):
+    """Max-mixture Gaussian pose prior — `smplify/prior.py:99-215`.
+
+    means: (K, 69) body-pose axis-angle (no global orient);
+    precisions: (K, 69, 69) inverse covariances;
+    log_nll_weights: (K,) log of the reference's `nll_weights`
+        (weights / (const * sqrtdet / min sqrtdet)).
+    """
+
+    means: jnp.ndarray
+    precisions: jnp.ndarray
+    log_nll_weights: jnp.ndarray
+
+
+def load_gmm_prior(path: str) -> Optional[GMMPosePrior]:
+    """Load the SMPLify `gmm_08.pkl` (dict with means/covars/weights) into a
+    GMMPosePrior; None when the file is absent (it requires a download)."""
+    import os
+    import pickle
+
+    if not path or not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        gmm = pickle.load(f, encoding="latin1")
+    means = np.asarray(gmm["means"], np.float64)
+    covs = np.asarray(gmm["covars"], np.float64)
+    weights = np.asarray(gmm["weights"], np.float64)
+    return _build_gmm_prior(means, covs, weights)
+
+
+def _build_gmm_prior(means, covs, weights) -> GMMPosePrior:
+    precisions = np.stack([np.linalg.inv(c) for c in covs])
+    sqrdets = np.sqrt(np.clip([np.linalg.det(c) for c in covs], 1e-300, None))
+    const = (2 * np.pi) ** (means.shape[1] / 2.0)
+    nll_weights = weights / (const * (sqrdets / sqrdets.min()))
+    return GMMPosePrior(
+        means=jnp.asarray(means, jnp.float32),
+        precisions=jnp.asarray(precisions, jnp.float32),
+        log_nll_weights=jnp.asarray(np.log(np.clip(nll_weights, 1e-30, None)), jnp.float32),
+    )
+
+
+def fit_gmm_prior(samples: np.ndarray, k: int = 8, iters: int = 20,
+                  reg: float = 1e-4, seed: int = 0) -> GMMPosePrior:
+    """Fit a k-component prior from pose samples (k-means + per-cluster full
+    covariance) — stands in for the downloadable gmm_08.pkl when training a
+    prior from one's own mocap poses."""
+    rng = np.random.RandomState(seed)
+    x = np.asarray(samples, np.float64)
+    n, d = x.shape
+    k = min(k, n)
+    centers = x[rng.choice(n, k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None] - centers[None]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            sel = x[assign == j]
+            if len(sel):
+                centers[j] = sel.mean(0)
+    covs, weights = [], []
+    for j in range(k):
+        sel = x[assign == j]
+        if len(sel) < 2:
+            covs.append(np.eye(d) * reg)
+        else:
+            c = np.cov(sel.T) + np.eye(d) * reg
+            covs.append(c)
+        weights.append(max(len(sel), 1) / n)
+    return _build_gmm_prior(centers, np.stack(covs), np.asarray(weights))
+
+
+def gmm_prior_nll(prior: GMMPosePrior, body_pose: jnp.ndarray) -> jnp.ndarray:
+    """Max-mixture negative log-likelihood — `prior.py merged_log_likelihood`:
+    min over components of (0.5 quad form - log nll_weight).
+
+    Args: body_pose (N, 69). Returns (N,)."""
+    diff = body_pose[:, None, :] - prior.means[None]  # (N, K, D)
+    quad = jnp.einsum("nkj,kji,nki->nk", diff, prior.precisions, diff)
+    ll = 0.5 * quad - prior.log_nll_weights[None]
+    return jnp.min(ll, axis=1)
 
 
 class SMPLifyConfig(NamedTuple):
@@ -184,6 +292,11 @@ class SMPLifyConfig(NamedTuple):
     w_shape_reg: float = 1e-2
     w_angle: float = 1e-2
     w_temporal: float = 1e-2
+    # GMM prior + temporal joint smoothness (`losses.py:103-150` weights are
+    # squared in the reference; these are effective weights)
+    w_gmm: float = 1e-3
+    w_smooth_j2d: float = 1e-2
+    w_smooth_j3d: float = 1.0
 
 
 def smplify_refine(
@@ -192,16 +305,20 @@ def smplify_refine(
     kps2d: jnp.ndarray,
     kps_conf: jnp.ndarray,
     cfg: SMPLifyConfig = SMPLifyConfig(),
+    prior: Optional[GMMPosePrior] = None,
 ) -> jnp.ndarray:
-    """Refine SMPL parameters against 2D keypoints — `smplify.py:46-175`.
+    """Refine SMPL parameters against 2D keypoints — `smplify.py:46-175` +
+    `losses.py:103-150` (temporal_body_fitting_loss).
 
     Runs fixed-iteration Adam (jit-friendly; the reference also ships this
     optimizer choice) over (pose6d, shape, cam) with a robust reprojection
-    loss + pose/shape regularizers toward the SPIN initialization (the role of
-    the GMM prior: keep pose near a plausible body) + temporal smoothness.
+    loss, the max-mixture GMM pose prior when provided (fallback: L2 toward
+    the SPIN initialization), the knee/elbow angle prior, and temporal
+    2D/3D joint smoothness over the frame axis.
 
     Args:
         theta_init: (N, 85); kps2d: (N, 19, 2) in [-1, 1]; kps_conf: (N, 19).
+        prior: optional GMM pose prior (load_gmm_prior / fit_gmm_prior).
 
     Returns:
         theta_refined: (N, 85)
@@ -223,18 +340,31 @@ def smplify_refine(
         theta = unpack(params)
         details = smpl_mod.get_details(model, theta)
         j2d = details["j2d"]  # (N, 19, 2)
+        j3d = details["j3d"]
         reproj = jnp.sum(
             kps_conf[..., None] * gmof(j2d - kps2d, cfg.kp_sigma), axis=(1, 2))
-        pose_reg = jnp.sum((pose6d - pose0) ** 2, axis=-1)
+        if prior is not None:
+            pose_prior = gmm_prior_nll(prior, theta[:, 6:75]) * cfg.w_gmm
+        else:
+            pose_prior = jnp.sum((pose6d - pose0) ** 2, axis=-1) * cfg.w_pose_reg
         shape_reg = jnp.sum(shape ** 2, axis=-1)
         ang = angle_prior(theta[:, 3:75])
-        temporal = jnp.sum((pose6d[1:] - pose6d[:-1]) ** 2) if n > 1 else 0.0
+        if n > 1:
+            temporal = cfg.w_temporal * jnp.sum((pose6d[1:] - pose6d[:-1]) ** 2)
+            # temporal joint smoothness — `temporal_body_fitting_loss:130-150`
+            conf_d = kps_conf[1:] ** 2
+            temporal = temporal + cfg.w_smooth_j2d * jnp.sum(
+                conf_d * jnp.sum(jnp.abs(j2d[1:] - j2d[:-1]), axis=-1))
+            temporal = temporal + cfg.w_smooth_j3d * jnp.sum(
+                (j3d[1:] - j3d[:-1]) ** 2)
+        else:
+            temporal = 0.0
         total = (
             cfg.w_reproj * jnp.sum(reproj)
-            + cfg.w_pose_reg * jnp.sum(pose_reg)
+            + jnp.sum(pose_prior)
             + cfg.w_shape_reg * jnp.sum(shape_reg)
             + cfg.w_angle * jnp.sum(ang)
-            + cfg.w_temporal * temporal
+            + temporal
         )
         return total
 

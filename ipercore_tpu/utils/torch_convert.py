@@ -173,3 +173,176 @@ def convert_generator(sd: dict, like: Any) -> tuple[dict, list[str]]:
 
     out = {"params": params} if "params" in tree else params
     return out, report
+
+
+# ---------------------------------------------------------------------------
+# Perception-net converters (SPIN / Sphere20a / VGG19 / OpenPose Body-25)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_sd(sd: dict) -> dict:
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    return {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in sd.items()}
+
+
+def _mutable_like(like):
+    def to_mut(x):
+        if hasattr(x, "keys"):
+            return {k: to_mut(x[k]) for k in x.keys()}
+        return np.asarray(x)
+
+    tree = to_mut(like)
+    params = tree["params"] if "params" in tree else tree
+    return tree, params
+
+
+def _finish(tree, params):
+    return {"params": params} if "params" in tree else params
+
+
+def _put_conv(sd, params, torch_key, flax_path, report, transpose=False):
+    if torch_key + ".weight" not in sd:
+        report.append("ABSENT " + torch_key)
+        return
+    _assign(params, flax_path + ["kernel"],
+            torch_conv_to_flax(sd[torch_key + ".weight"], transpose=transpose), report)
+    if torch_key + ".bias" in sd:
+        _assign(params, flax_path + ["bias"], sd[torch_key + ".bias"], report)
+
+
+def _put_dense(sd, params, torch_key, flax_path, report):
+    if torch_key + ".weight" not in sd:
+        report.append("ABSENT " + torch_key)
+        return
+    _assign(params, flax_path + ["kernel"], sd[torch_key + ".weight"].T.copy(), report)
+    if torch_key + ".bias" in sd:
+        _assign(params, flax_path + ["bias"], sd[torch_key + ".bias"], report)
+
+
+def _put_bn(sd, params, torch_key, flax_path, report):
+    """BatchNorm2d -> FrozenBatchNorm {scale, bias, mean, var}."""
+    pairs = [("weight", "scale"), ("bias", "bias"),
+             ("running_mean", "mean"), ("running_var", "var")]
+    if torch_key + ".weight" not in sd:
+        report.append("ABSENT " + torch_key)
+        return
+    for tk, fk in pairs:
+        if torch_key + "." + tk in sd:
+            _assign(params, flax_path + [fk], sd[torch_key + "." + tk], report)
+
+
+def convert_spin(sd: dict, like) -> tuple[dict, list[str]]:
+    """SPIN `model_checkpoint.pt` state dict -> `tools.pose3d.SPINNet` params.
+
+    Torch layout (`spin/network.py:52-120`): conv1/bn1, layer{1-4}.{b}.
+    {conv,bn}{1-3} + downsample.{0,1}, fc1/fc2/decpose/decshape/deccam,
+    init_{pose,shape,cam} buffers.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    bk = ["backbone"]
+
+    _put_conv(sd, params, "conv1", bk + ["conv1"], report)
+    _put_bn(sd, params, "bn1", bk + ["bn1"], report)
+    for l, blocks in enumerate((3, 4, 6, 3), start=1):
+        for b in range(blocks):
+            t = f"layer{l}.{b}"
+            f = bk + [f"layer{l}_{b}"]
+            for j in (1, 2, 3):
+                _put_conv(sd, params, f"{t}.conv{j}", f + [f"conv{j}"], report)
+                _put_bn(sd, params, f"{t}.bn{j}", f + [f"bn{j}"], report)
+            if f"{t}.downsample.0.weight" in sd:
+                _put_conv(sd, params, f"{t}.downsample.0", f + ["downsample_conv"], report)
+                _put_bn(sd, params, f"{t}.downsample.1", f + ["downsample_bn"], report)
+    for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        _put_dense(sd, params, name, ["regressor", name], report)
+    for name in ("init_pose", "init_shape", "init_cam"):
+        if name in sd:
+            _assign(params, [name], sd[name], report)
+        else:
+            report.append("ABSENT " + name)
+    return _finish(tree, params), report
+
+
+def convert_sphereface(sd: dict, like) -> tuple[dict, list[str]]:
+    """sphere20a checkpoint -> `criterions.SphereFaceFeatures` params.
+
+    Torch layout (`faceloss.py:203-260`): conv{s}_{i} / relu{s}_{i} (PReLU,
+    param 'weight') / fc5. The classification head (fc6/angle) is ignored.
+    fc5's input is the NCHW-flattened stage-4 map; the flax module flattens
+    the same order, so the weight is a plain transpose.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    stages = {1: (1, 2, 3), 2: (1, 2, 3, 4, 5), 3: tuple(range(1, 10)), 4: (1, 2, 3)}
+    for s, ids in stages.items():
+        for i in ids:
+            _put_conv(sd, params, f"conv{s}_{i}", [f"conv{s}_{i}"], report)
+            key = f"relu{s}_{i}.weight"
+            if key in sd:
+                _assign(params, [f"relu{s}_{i}", "weight"], sd[key], report)
+            else:
+                report.append("ABSENT " + key)
+    _put_dense(sd, params, "fc5", ["fc5"], report)
+    return _finish(tree, params), report
+
+
+# torchvision vgg19.features conv layer indices, in order (relu/pool layers
+# carry no params): conv{si}_{wi} of `criterions.VGGFeatures`.
+_VGG19_CONV_IDS = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+
+
+def convert_vgg19(sd: dict, like) -> tuple[dict, list[str]]:
+    """torchvision `vgg19` state dict -> `criterions.VGGFeatures` params.
+
+    Accepts either bare indices ('features.0.weight') or a wrapped prefix.
+    """
+    sd = _normalize_sd(sd)
+    sd = {k[len("vgg."):] if k.startswith("vgg.") else k: v for k, v in sd.items()}
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    slices = ((64, 64), (128, 128), (256, 256, 256, 256),
+              (512, 512, 512, 512), (512, 512, 512, 512))
+    flat = 0
+    for si, widths in enumerate(slices):
+        for wi, _ in enumerate(widths):
+            idx = _VGG19_CONV_IDS[flat]
+            _put_conv(sd, params, f"features.{idx}", [f"conv{si}_{wi}"], report)
+            flat += 1
+    return _finish(tree, params), report
+
+
+def convert_openpose(sd: dict, like) -> tuple[dict, list[str]]:
+    """OpenPose Body-25 torch checkpoint -> `tools.pose2d.OpenPoseBody25`.
+
+    Torch layout (`openposenet.py:60-330`): 'model0.conv1_1.weight', and
+    'block{s}{l}.main.{i}.split{col}.Mconv{i+1}_stage{s}_L{l}[_{col}].weight'
+    (+ matching Mprelu PReLU weights). The flax tree flattens each block's
+    MConv layers under the block name; the M-names are globally unique within
+    a block, so mapping is by (first component, last-two components).
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    for key, val in sd.items():
+        parts = key.split(".")
+        block, mname, param = parts[0], parts[-2], parts[-1]
+        if block == "model0":
+            path = ["model0", mname]
+        elif block.startswith("block"):
+            path = [block, mname]
+        else:
+            report.append("UNMAPPED " + key)
+            continue
+        if param == "weight" and val.ndim == 4:  # conv kernel
+            _assign(params, path + ["kernel"], torch_conv_to_flax(val), report)
+        elif param == "weight" and val.ndim == 1 and mname.startswith(("prelu", "Mprelu")):
+            _assign(params, path + ["weight"], val, report)
+        elif param == "bias":
+            _assign(params, path + ["bias"], val, report)
+        else:
+            report.append("UNMAPPED " + key)
+    return _finish(tree, params), report
