@@ -22,10 +22,12 @@ def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
         (..., 3, 3) rotation matrices.
     """
     aa = jnp.asarray(axis_angle)
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)  # (..., 1)
-    # Guard the zero-angle singularity; sin(x)/x -> 1, (1-cos x)/x^2 -> 1/2.
-    safe = jnp.maximum(angle, 1e-8)
-    axis = aa / safe
+    # Gradient-safe norm: d|x|/dx = x/|x| is 0/0 at x=0 (jnp.linalg.norm
+    # NaNs there); sqrt(x^2 + eps^2) keeps the value within 5e-13 for any
+    # angle > 1e-4 and has a clean zero gradient at the origin.
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    angle = jnp.sqrt(sq + 1e-16)  # (..., 1), >= 1e-8
+    axis = aa / angle
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zeros = jnp.zeros_like(x)
     # Cross-product (hat) matrix of the unit axis.
@@ -91,20 +93,29 @@ def rotmat_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_a = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    angle = jnp.arccos(cos_a)  # [0, pi]
+    angle = jnp.arccos(cos_a)  # [0, pi] — branch predicates only (exact)
+    # Gradient-safe angle for the generic branch: arccos'(x) = -1/sqrt(1-x^2)
+    # blows up at |x| = 1 and jnp.where does NOT block NaN cotangents from
+    # untaken branches (this made every optimization through identity
+    # rotations NaN — e.g. SMPLify on poses with zero joints).
+    cos_safe = jnp.clip(cos_a, -1.0 + 1e-7, 1.0 - 1e-7)
+    angle_safe = jnp.arccos(cos_safe)
     # Off-diagonal antisymmetric part gives sin(angle) * axis.
     rx = R[..., 2, 1] - R[..., 1, 2]
     ry = R[..., 0, 2] - R[..., 2, 0]
     rz = R[..., 1, 0] - R[..., 0, 1]
     r = jnp.stack([rx, ry, rz], axis=-1)  # = 2 sin(angle) * axis
-    sin_a = jnp.sin(angle)
+    sin_a = jnp.sin(angle_safe)
     # Generic case.
     axis_generic = r / jnp.maximum(2.0 * sin_a[..., None], 1e-8)
     # angle ~ pi: axis from diagonal of (R + I)/2 = axis axis^T.
     diag = jnp.stack(
         [R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1
     )
-    axis_pi = jnp.sqrt(jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0))
+    val = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
+    # sqrt'(0) = inf: zero the component instead (double-where)
+    val_safe = jnp.where(val < 1e-12, 1.0, val)
+    axis_pi = jnp.where(val < 1e-12, 0.0, jnp.sqrt(val_safe))
     # Fix signs using the off-diagonal sums (sign ambiguity is global; pick rz>=0 style).
     sign = jnp.where(r >= 0, 1.0, -1.0)
     axis_pi = axis_pi * sign
@@ -112,7 +123,7 @@ def rotmat_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
     axis = jnp.where(near_pi[..., None], axis_pi, axis_generic)
     # angle ~ 0: r itself is the best small-angle estimate (r/2 ~ aa).
     near_zero = angle < 1e-6
-    aa = jnp.where(near_zero[..., None], r * 0.5, axis * angle[..., None])
+    aa = jnp.where(near_zero[..., None], r * 0.5, axis * angle_safe[..., None])
     return aa
 
 

