@@ -82,6 +82,19 @@ class SrcMetaInfo:
             info.name = os.path.split(info.path.rstrip("/"))[-1]
         return info
 
+    def to_str(self) -> str:
+        """Serialize back to the input mini-language (inverse of `parse`) —
+        used by `post_update_opt` to rewrite opt.src_path with only the
+        successfully-processed inputs."""
+        kv = [f"path?={self.path}"]
+        if self.name:
+            kv.append(f"name?={self.name}")
+        if self.bg_path:
+            kv.append(f"bg_path?={self.bg_path}")
+        if self.parts and self.parts != ["all"]:
+            kv.append("parts?=" + "-".join(self.parts))
+        return ",".join(kv)
+
 
 @dataclass
 class RefMetaInfo:
@@ -91,6 +104,7 @@ class RefMetaInfo:
     name: Optional[str] = None
     audio: Optional[str] = None
     fps: float = 25.0
+    fps_explicit: bool = False
     pose_fc: float = 300.0
     cam_fc: float = 100.0
     effect: dict = field(default_factory=dict)
@@ -101,6 +115,7 @@ class RefMetaInfo:
         info = cls(path=kv.get("path", ""), name=kv.get("name"), audio=kv.get("audio"))
         if "fps" in kv:
             info.fps = float(kv["fps"])
+            info.fps_explicit = True
         if "pose_fc" in kv:
             info.pose_fc = float(kv["pose_fc"])
         if "cam_fc" in kv:
@@ -110,6 +125,47 @@ class RefMetaInfo:
         if info.name is None and info.path:
             info.name = os.path.split(info.path.rstrip("/"))[-1]
         return info
+
+    def to_str(self) -> str:
+        """Serialize back to the input mini-language (inverse of `parse`)."""
+        kv = [f"path?={self.path}"]
+        if self.name:
+            kv.append(f"name?={self.name}")
+        if self.audio:
+            kv.append(f"audio?={self.audio}")
+        if self.fps_explicit:
+            kv.append(f"fps?={self.fps}")
+        kv.append(f"pose_fc?={self.pose_fc}")
+        kv.append(f"cam_fc?={self.cam_fc}")
+        if self.effect:
+            subs = []
+            if "View" in self.effect:
+                subs.append(f"View-{self.effect['View']:g}")
+            for frame, dur in self.effect.get("BT", []):
+                subs.append(f"BT-{frame}-{dur}")
+            kv.append("effect?=" + ";".join(subs))
+        return ",".join(kv)
+
+    def resolve_media(self, output_dir: str) -> "RefMetaInfo":
+        """Fill fps/audio from the reference video via ffprobe/ffmpeg when not
+        explicitly given — `MetaProcess` media extraction
+        (`meta_info.py:288-303`). Extracted audio is cached next to the
+        processed frames. No-op without ffmpeg or for image-folder inputs."""
+        from ipercore_tpu.utils import video as vid
+
+        if not (self.path and os.path.isfile(self.path)
+                and vid.is_video_file(self.path) and vid.has_ffmpeg()):
+            return self
+        if not self.fps_explicit:
+            self.fps = vid.get_video_fps(self.path, default=self.fps)
+        if self.audio is None and vid.check_video_has_audio(self.path):
+            mp = MetaProcess(self.name, output_dir).make_dirs()
+            audio_path = os.path.join(mp.processed_dir, "audio.aac")
+            if not os.path.exists(audio_path):
+                vid.extract_audio_from_video(self.path, audio_path)
+            if os.path.exists(audio_path):
+                self.audio = audio_path
+        return self
 
 
 def parse_src_input(src_input: str) -> list[SrcMetaInfo]:

@@ -17,7 +17,41 @@ import numpy as np
 from ipercore_tpu.services.meta_info import MetaProcess, parse_src_input, checkpoints_dir
 from ipercore_tpu.services.process_info import ProcessInfo
 from ipercore_tpu.utils import video as vid
-from ipercore_tpu.utils.checkpoint import save_params
+from ipercore_tpu.utils.checkpoint import load_params, save_params
+
+
+def load_pretrained_generator(opt, params_like):
+    """Initialize G from a published/pretrained checkpoint before fine-tuning
+    — ref `lwg_trainer.py:95-102` loads the released AttLWB-SPADE weights
+    (round 1 always started from random init, so personalization could never
+    produce a real video).
+
+    Priority: `opt.load_path_G` (ours .npz, or a torch .pth converted via
+    `convert_generator`), then `<output_dir>/models/pretrains/AttLWB-SPADE_G.npz`.
+    Returns params or None when no checkpoint is available.
+    """
+    candidates = [
+        str(opt.get("load_path_G", "") or ""),
+        os.path.join(opt.output_dir, "models", "pretrains", "AttLWB-SPADE_G.npz"),
+    ]
+    for p in candidates:
+        if not p or not os.path.exists(p):
+            continue
+        if p.endswith(".npz"):
+            return load_params(p, like=params_like)
+        if p.endswith((".pth", ".pt")):
+            import torch
+
+            from ipercore_tpu.utils.torch_convert import convert_generator
+
+            sd = torch.load(p, map_location="cpu")
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            out, report = convert_generator(sd, params_like)
+            if report:
+                print(f"[personalize] {p}: {len(report)} unconverted entries")
+            return out
+    return None
 
 
 def make_personalized_batches(opt, src_meta, rng: np.random.RandomState, n_iters: int):
@@ -118,6 +152,9 @@ def personalize(opt) -> str:
     ns = int(opt.num_source)
     nt = int(opt.get("time_step", 1))
     state = T.create_train_state(jax.random.PRNGKey(0), gen, dis, comp, cfg, ns=ns, nt=nt)
+    pretrained = load_pretrained_generator(opt, state.params_G)
+    if pretrained is not None:
+        state = state._replace(params_G=pretrained)
 
     import functools
 

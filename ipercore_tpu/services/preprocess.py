@@ -105,18 +105,43 @@ def digital_deform(opt) -> None:
 
 
 def post_update_opt(opt) -> None:
-    """`post_update_opt:330`: drop failed inputs, clamp num_source."""
+    """`post_update_opt:330-380`: drop failed inputs from opt, clamp
+    num_source to the valid-source count, write personalization.txt.
+
+    Reference semantics: a source is valid iff all preprocessing stages ran;
+    `num_source = min(opt.num_source, max over valid sources of available
+    source frames)`; invalid inputs are REMOVED from opt.src_path (round 1
+    kept them and clamped num_source from the frame count of every source,
+    valid or not)."""
+    from ipercore_tpu.services.meta_info import checkpoints_dir
+
     metas = parse_src_input(opt.src_path)
-    valid = []
+    valid, cur_num_source = [], 1
     for meta in metas:
         mp = MetaProcess(meta.name, opt.output_dir)
         info = ProcessInfo.deserialize(mp.processed_dir)
-        if info.get_array("smpls") is not None and len(info.get_array("smpls")):
+        smpls = info.get_array("smpls")
+        if info.check_has_been_processed() and smpls is not None and len(smpls):
             valid.append(meta)
-            n = len(info.get_array("smpls"))
-            opt.num_source = min(int(opt.num_source), max(n, 1))
-    # keep at least the original string if everything failed (surfacing errors
-    # is the caller's job)
+            cur_num_source = max(cur_num_source, len(smpls))
+    if valid:
+        opt.src_path = "|".join(m.to_str() for m in valid)
+    opt.num_source = min(int(opt.num_source), cur_num_source)
+
+    # `personalization.txt` lists the usable primitives dirs (`:364-368`)
+    ckpt_dir = checkpoints_dir(opt.output_dir, opt.model_id)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "personalization.txt"), "w") as f:
+        for meta in valid:
+            f.write(MetaProcess(meta.name, opt.output_dir).primitives_dir + "\n")
+
+    ref_valid = []
+    for meta in parse_ref_input(opt.ref_path):
+        info = ProcessInfo.deserialize(MetaProcess(meta.name, opt.output_dir).processed_dir)
+        if info.check_has_been_processed():
+            ref_valid.append(meta)
+    if ref_valid:
+        opt.ref_path = "|".join(m.to_str() for m in ref_valid)
 
 
 def preprocess(opt) -> None:

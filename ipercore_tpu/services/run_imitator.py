@@ -177,9 +177,17 @@ def imitate(opt) -> list[str]:
     outputs = []
     for src_meta in src_metas:
         cache, src, offsets, links_ids = load_source_cache(opt, comp, gen, params, src_meta)
+        src_proc = MetaProcess(src_meta.name, opt.output_dir).processed_dir
+        src_imgs = [vid.load_image(os.path.join(src_proc, "images", n),
+                                   size=int(opt.image_size))
+                    for n in src["img_names"]]
         for ref_meta in ref_metas:
+            # fps/audio from the reference video when not explicit
+            # (`meta_info.py:288-303`)
+            ref_meta.resolve_media(opt.output_dir)
             proc_dir = MetaProcess(ref_meta.name, opt.output_dir).processed_dir
-            ref_info = ProcessInfo.deserialize(proc_dir).read_ref_info()
+            pinfo = ProcessInfo.deserialize(proc_dir)
+            ref_info = pinfo.read_ref_info()
             smpls = np.asarray(ref_info["smpls"], np.float32)
 
             smpls = temporal_smooth_smpls(smpls, ref_meta.pose_fc, ref_meta.cam_fc)
@@ -207,10 +215,30 @@ def imitate(opt) -> list[str]:
                 p = os.path.join(out_dir, f"pred_{i:08d}.png")
                 vid.save_image(p, f)
                 paths.append(p)
+
+            # fused src | ref | out deliverable —
+            # `fuse_source_reference_output` (`multimedia/video.py:404-528`)
+            ref_names = pinfo.meta.get("valid_img_names", [])
+            fused_paths = []
+            if ref_names:
+                src_panel = np.concatenate(src_imgs, axis=1)
+                for i, f in enumerate(frames):
+                    rn = ref_names[min(i, len(ref_names) - 1)]
+                    ref_img = vid.load_image(os.path.join(proc_dir, "images", rn),
+                                             size=int(opt.image_size))
+                    fused = vid.fuse_side_by_side([[src_panel, ref_img, f]])
+                    fp = os.path.join(out_dir, f"fused_{i:08d}.png")
+                    vid.save_image(fp, fused)
+                    fused_paths.append(fp)
+
             mp4 = os.path.join(out_dir, "imitation.mp4")
             if vid.has_ffmpeg():
                 try:
                     vid.make_video(paths, mp4, fps=ref_meta.fps, audio_path=ref_meta.audio)
+                    if fused_paths:
+                        vid.make_video(fused_paths,
+                                       os.path.join(out_dir, "imitation_fused.mp4"),
+                                       fps=ref_meta.fps, audio_path=ref_meta.audio)
                     outputs.append(mp4)
                 except Exception:
                     outputs.append(out_dir)

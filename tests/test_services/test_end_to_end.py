@@ -93,6 +93,60 @@ def test_imitate_produces_frames(opt, pipeline):
         out if os.path.isdir(out) else os.path.dirname(out), sorted(frames)[0]))
     assert img.shape == (S, S, 3)
     assert np.isfinite(img).all()
+    # fused src|ref|out deliverable (`fuse_src_ref_multi_outputs`)
+    d = out if os.path.isdir(out) else os.path.dirname(out)
+    fused = sorted(f for f in os.listdir(d) if f.startswith("fused_"))
+    assert len(fused) == 5
+    fimg = vid.load_image(os.path.join(d, fused[0]))
+    assert fimg.shape == (S, S * (int(opt.num_source) + 2), 3)  # ns src + ref + out
+
+
+def test_post_update_opt_drops_invalid_sources(opt, pipeline):
+    from ipercore_tpu.services.preprocess import post_update_opt
+    from ipercore_tpu.services.meta_info import checkpoints_dir
+
+    opt2 = type(opt)(opt)  # shallow copy of the AttrDict
+    # append a bogus source that was never processed
+    opt2.src_path = opt.src_path + "|path?=/nonexistent_dir,name?=ghost"
+    opt2.num_source = 10
+    post_update_opt(opt2)
+    assert "ghost" not in opt2.src_path
+    assert "person_a" in opt2.src_path
+    assert opt2.num_source <= 4  # clamped to available frames
+    ptxt = os.path.join(checkpoints_dir(opt2.output_dir, opt2.model_id),
+                        "personalization.txt")
+    assert os.path.exists(ptxt)
+    assert "person_a" in open(ptxt).read()
+
+
+def test_personalize_uses_pretrained_when_present(opt, pipeline, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.services.personalization import load_pretrained_generator
+    from ipercore_tpu.models.networks import build_generator
+    from ipercore_tpu.utils.checkpoint import save_params
+
+    gen = build_generator("AttLWB-SPADE", opt.Generator)
+    ns = int(opt.num_source)
+    params = jax.jit(lambda r: gen.init(
+        r, jnp.zeros((1, 1, S, S, 4)), jnp.zeros((1, ns, S, S, 6)),
+        jnp.zeros((1, 1, S, S, 6)), jnp.zeros((1, 1, ns, S, S, 2)), None, False,
+    ))(jax.random.PRNGKey(7))
+    marked = jax.tree_util.tree_map(lambda x: x * 0 + 3.25, params)
+    p = str(tmp_path / "pre_G.npz")
+    save_params(p, jax.device_get(marked))
+
+    opt2 = type(opt)(opt)
+    opt2.load_path_G = p
+    out = load_pretrained_generator(opt2, params)
+    assert out is not None
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.testing.assert_allclose(np.asarray(leaf), 3.25)
+    # absent path -> None (random init fallback)
+    opt3 = type(opt)(opt)
+    opt3.load_path_G = ""
+    assert load_pretrained_generator(opt3, params) is None
 
 
 def test_novel_view_service(opt, pipeline):

@@ -47,3 +47,25 @@ def test_meta_process_dirs(tmp_path):
     assert os.path.isdir(mp.processed_dir)
     assert os.path.isdir(mp.synthesis_dir)
     assert mp.processed_dir.endswith("primitives/subj/processed")
+
+
+def test_meta_roundtrip_to_str():
+    from ipercore_tpu.services.meta_info import SrcMetaInfo, RefMetaInfo
+
+    s = parse_src_input("path?=/imgs,name?=p1,bg_path?=/bg.png,parts?=head-torso")[0]
+    s2 = SrcMetaInfo.parse(s.to_str())
+    assert (s2.path, s2.name, s2.bg_path, s2.parts) == (s.path, s.name, s.bg_path, s.parts)
+
+    r = parse_ref_input(
+        "path?=/v.mp4,name?=d,fps?=30,pose_fc?=250,effect?=View-45;BT-30-180")[0]
+    r2 = RefMetaInfo.parse(r.to_str())
+    assert (r2.path, r2.name, r2.fps, r2.pose_fc, r2.effect) == (
+        r.path, r.name, r.fps, r.pose_fc, r.effect)
+
+
+def test_resolve_media_noop_without_video(tmp_path):
+    from ipercore_tpu.services.meta_info import RefMetaInfo
+
+    r = RefMetaInfo(path=str(tmp_path), name="folder")
+    out = r.resolve_media(str(tmp_path))
+    assert out.fps == 25.0 and out.audio is None
