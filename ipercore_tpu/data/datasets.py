@@ -189,7 +189,8 @@ def build_dataset(name: str, **kw):
     if name == "ProcessedVideo+Place2":
         video = ProcessedVideoDataset(
             kw["dataset_dirs"], kw.get("image_size", 512),
-            kw.get("num_source", 2), kw.get("time_step", 2))
+            kw.get("num_source", 2), kw.get("time_step", 2),
+            split=kw.get("split", "train"))
         bg = BackgroundDataset(kw.get("background_dir", ""), kw.get("image_size", 512))
         return VideoBackgroundDataset(video, bg)
     if name not in DATASET_REGISTRY:

@@ -261,6 +261,7 @@ def synthesize_frames(
     offsets: jnp.ndarray | float = 0.0,
     links_ids: Optional[jnp.ndarray] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    tst_stride: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Synthesize a batch of frames — the hot path (`Imitator.inference:328` +
     `forward:384`, frame-batched instead of frame-serial).
@@ -269,6 +270,9 @@ def synthesize_frames(
         tgt_smpl: (T, 85).
         compute_dtype: optional lower precision (jnp.bfloat16) for the
             generator compute — geometry/flows stay f32; outputs cast back.
+        tst_stride: override the Tst flow subsampling (None = resolution
+            default). `scripts/evaluate/accuracy_cost.py` measures the
+            quality cost of both knobs.
 
     Returns:
         preds (T, S, S, 3) composited frames in [-1, 1];
@@ -276,7 +280,8 @@ def synthesize_frames(
     """
     T = tgt_smpl.shape[0]
     tsf_inputs, Tst, _ = make_frame_inputs(
-        comp, cache, tgt_smpl, offsets, links_ids, sample_dtype=compute_dtype)
+        comp, cache, tgt_smpl, offsets, links_ids, sample_dtype=compute_dtype,
+        tst_stride=tst_stride)
 
     # Broadcast the cached per-source features over the frame axis.
     def rep(x):  # (1, ns, ...) -> (T, ns, ...)

@@ -23,6 +23,25 @@ PAD5 = ((2, 2), (2, 2))
 PAD7 = ((3, 3), (3, 3))
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm holding torch's parameter set (scale/bias +
+    running mean/var) as plain params — the conversion target for every
+    BatchNorm-bearing perception net (SPIN `spin/network.py:30-90`, SCHP
+    `schp_parser.py:215-229`, Mobilenet OpenPose `mobilenet.py:9-14`). On TPU
+    the four constants fold into a single fused multiply-add by XLA."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * (scale * jax.lax.rsqrt(var + self.eps)) + bias
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Parameter-free instance norm over spatial dims of NHWC (torch
     InstanceNorm2d(affine=False) semantics)."""
@@ -196,9 +215,11 @@ class SPADE(nn.Module):
 def adain(content: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """AdaIN with per-pixel channel statistics — `attlwb_adain_resunet.py:25-52`:
     content is normalized by its channel-wise std/mean and re-styled by
-    (gamma, beta) = channel std/mean of the attention output."""
+    (gamma, beta) = channel std/mean of the attention output.
+
+    std is unbiased (ddof=1) to match `torch.std_mean`'s default."""
     mean = jnp.mean(content, axis=-1, keepdims=True)
-    std = jnp.std(content, axis=-1, keepdims=True)
+    std = jnp.std(content, axis=-1, keepdims=True, ddof=1)
     return (content - mean) / (std + eps) * gamma + beta
 
 
@@ -297,7 +318,7 @@ class SelfAttentionLWB(nn.Module):
         if self.mode == "spade":
             return SPADE(norm_nc=tsf_x.shape[-1])(tsf_x, x)
         if self.mode == "adain":
-            gamma = jnp.std(x, axis=-1, keepdims=True)
+            gamma = jnp.std(x, axis=-1, keepdims=True, ddof=1)
             beta = jnp.mean(x, axis=-1, keepdims=True)
             return adain(tsf_x, gamma, beta)
         raise ValueError(f"unknown SelfAttentionLWB mode {self.mode}")

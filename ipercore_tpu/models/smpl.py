@@ -501,6 +501,25 @@ def get_details(
     }
 
 
+def resolve_body_model(opt=None) -> SMPLModel:
+    """One body-model choice for every service: explicit pickle path
+    (`opt.smpl_model`) > tiny smoke mesh (`opt.smoke_model`) > real SMPL
+    template from the reference assets > synthetic stand-in.
+
+    Round-2 fix: preprocessing/personalization/training previously used
+    `synthetic_model()` while imitation used `template_model()` — SMPL fits
+    estimated on one body were consumed by another."""
+    import os as _os
+
+    get = getattr(opt, "get", None) if opt is not None else None
+    smpl_path = get("smpl_model", "") if get else ""
+    if smpl_path and _os.path.exists(smpl_path):
+        return load_model(smpl_path)
+    if get and get("smoke_model", False):
+        return synthetic_model(nu=20, nv=18)
+    return template_model()
+
+
 def pad_theta_with_hands(theta: jnp.ndarray, model: SMPLModel) -> jnp.ndarray:
     """85-dim theta -> (3 + pose_dim + 10) theta using the model's mean hand pose.
 

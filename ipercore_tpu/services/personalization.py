@@ -120,13 +120,7 @@ def personalize(opt) -> str:
     from ipercore_tpu.models.networks import criterions as C
     from ipercore_tpu.trainers import lwg_trainer as T
 
-    smpl_path = opt.get("smpl_model", "")
-    if smpl_path and os.path.exists(smpl_path):
-        model = smpl_mod.load_model(smpl_path)
-    elif opt.get("smoke_model", False):
-        model = smpl_mod.synthetic_model(nu=20, nv=18)
-    else:
-        model = smpl_mod.synthetic_model()
+    model = smpl_mod.resolve_body_model(opt)
     if opt.get("smoke_model", False):
         assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     else:

@@ -88,8 +88,18 @@ def human_estimate(opt) -> None:
 
 
 def digital_deform(opt) -> None:
-    """`digital_deform:279`: cloth-link / silhouette offsets for src inputs."""
-    from ipercore_tpu.tools.deformers import run_sil2smpl_offsets
+    """`digital_deform:279`: cloth-link / silhouette offsets for src inputs.
+
+    Reference order (`HumanDigitalDeformConsumer.run:119-165`): first try the
+    SCHP skirt/dress cloth-link finder; only when no cloth is found fall back
+    to the 500-step silhouette offset fit. The SCHP path needs converted
+    weights (`opt.schp_weights` npz) — absent those, the silhouette fit runs
+    for every source (the parser's random filters would produce garbage)."""
+    from ipercore_tpu.tools.deformers import (
+        find_cloth_links_schp, run_sil2smpl_offsets)
+    from ipercore_tpu.tools.parsers import build_parser
+
+    parser = build_parser(opt.get("schp_weights") or None)
 
     for meta in parse_src_input(opt.src_path):
         if not meta.path:
@@ -98,8 +108,22 @@ def digital_deform(opt) -> None:
         info = ProcessInfo.deserialize(mp.processed_dir)
         if info.has_run("deform") or not info.has_run("pose3d"):
             continue
-        offsets = run_sil2smpl_offsets(opt, info)
-        info.set_array("offsets", offsets)
+        found = False
+        if parser is not None:
+            from ipercore_tpu.models import smpl as smpl_mod
+
+            img_dir = os.path.join(mp.processed_dir, "images")
+            frames = vid.list_frames(img_dir) if os.path.isdir(img_dir) else []
+            smpls = info.get_array("smpls")
+            if frames and smpls is not None and len(smpls):
+                model = smpl_mod.resolve_body_model(opt)
+                found, links = find_cloth_links_schp(
+                    parser, vid.load_image(frames[0]), smpls[0], model)
+                if found:
+                    info.set_array("links_ids", links.astype(np.int64))
+        if not found:
+            offsets = run_sil2smpl_offsets(opt, info)
+            info.set_array("offsets", offsets)
         info.mark_run("deform")
         info.serialize()
 

@@ -33,16 +33,7 @@ def build_runtime(opt, part_masks: Optional[list] = None):
     from ipercore_tpu.models.networks import build_generator
     from ipercore_tpu.utils.checkpoint import load_params, save_params  # noqa: F401
 
-    smpl_path = opt.get("smpl_model", "")
-    if smpl_path and os.path.exists(smpl_path):
-        model = smpl_mod.load_model(smpl_path)
-    elif opt.get("smoke_model", False):
-        # tiny stand-in mesh for hermetic tests / dry runs
-        model = smpl_mod.synthetic_model(nu=20, nv=18)
-    else:
-        # real SMPL template geometry/topology when the reference assets are
-        # present; synthetic stand-in otherwise
-        model = smpl_mod.template_model()
+    model = smpl_mod.resolve_body_model(opt)
     if opt.get("smoke_model", False):
         assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     else:

@@ -43,10 +43,7 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     ns = int(opt.num_source)
     nt = int(opt.get("time_step", 2))
 
-    smpl_path = opt.get("smpl_model", "")
-    model = (smpl_mod.load_model(smpl_path)
-             if smpl_path and os.path.exists(smpl_path)
-             else smpl_mod.synthetic_model())
+    model = smpl_mod.resolve_body_model(opt)
     assets = load_assets(model)
     comp = fc.make_composer(model, assets, image_size=S,
                             out_dilate_ks=int(opt.get("out_dilate_ks", 51)))
@@ -91,6 +88,22 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         dataset_dirs=list(opt.get("dataset_dirs", [])),
         image_size=S, num_source=ns, time_step=nt,
     )
+    # held-out validation split (`val.txt` per dataset dir) — the role of
+    # `Train._display_visualizer_val` (ref `train.py:210-237`)
+    try:
+        val_ds = build_dataset(
+            opt.get("dataset_mode", "ProcessedVideo"),
+            dataset_dirs=list(opt.get("dataset_dirs", [])),
+            image_size=S, num_source=ns, time_step=nt, split="val",
+        )
+    except TypeError:
+        val_ds = None
+    eval_fn = None
+    val_it = None
+    if val_ds is not None and len(val_ds) > 0:
+        eval_fn = jax.jit(lambda st, b: T.eval_step(
+            st, b, comp, gen, dis, vgg, vgg_params, face, face_params, cfg, ns=ns))
+        val_it = val_ds.iterate(batch_size=n_dev, seed=7)
     batch_size = max(int(opt.get("batch_size", 1)) * n_dev, n_dev)
     from ipercore_tpu.data.prefetch import prefetch
 
@@ -110,7 +123,13 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
                                          if k in ("images", "smpls", "masks", "bg")})
         now = time.time()
         if now - last_print > print_every_s:
-            logger.log(step=i, **{k: float(v) for k, v in metrics.items()})
+            row = {k: float(v) for k, v in metrics.items()}
+            if eval_fn is not None:
+                vb = next(val_it)
+                vm = eval_fn(state, {k: jnp.asarray(v) for k, v in vb.items()
+                                     if k in ("images", "smpls", "masks", "bg")})
+                row.update({k: float(v) for k, v in vm.items()})
+            logger.log(step=i, **row)
             last_print = now
         if now - last_save > save_every_s:
             save_train_ckpt(ckpt_dir, i, jax.device_get(state.params_G),

@@ -57,11 +57,9 @@ def run_sil2smpl_offsets(opt, info, n_steps: int = 500, lr: float = 1e-4,
     """
     smpls = info.get_array("smpls")
     masks = info.get_array("masks")
+    model = smpl_mod.resolve_body_model(opt)
     if getattr(opt, "get", None) and opt.get("smoke_model", False):
-        model = smpl_mod.synthetic_model(nu=20, nv=18)
         n_steps = min(n_steps, 10)
-    else:
-        model = smpl_mod.synthetic_model()
     V = model.v_template.shape[0]
     if smpls is None or masks is None or len(smpls) == 0:
         return np.zeros((V, 3), np.float32)
@@ -91,6 +89,119 @@ def run_sil2smpl_offsets(opt, info, n_steps: int = 500, lr: float = 1e-4,
     for _ in range(n_steps):
         offsets, state, loss = step(offsets, state)
     return np.asarray(offsets)
+
+
+# Mean body shape used by the reference linker (`link_utils.py:66-68`) —
+# a 10-dim constant, reused verbatim (data, not code).
+LINKER_MEAN_SHAPE = np.array(
+    [-0.00124704, 0.00200815, 0.01044902, 0.01385473, 0.01137672,
+     -0.01685408, 0.0201432, -0.00677187, 0.0050879, -0.0051118], np.float32)
+
+
+def load_leg_vertex_ids() -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """(left_leg_ids, right_leg_ids) from `smpl_part_info.json`
+    (`link_utils.py:78-79`), or None when the asset is absent."""
+    import json
+
+    from ipercore_tpu.models.mesh import find_asset
+
+    path = find_asset("smpl_part_info.json")
+    if path is None:
+        return None
+    with open(path) as f:
+        info = json.load(f)
+    try:
+        left = np.asarray(info["02_left_leg"]["vertex"], np.int64)
+        right = np.asarray(info["03_right_leg"]["vertex"], np.int64)
+    except KeyError:
+        return None
+    return left, right
+
+
+def _inner_leg_ids(model, leg_ids: np.ndarray, rate: float = 0.3,
+                   right: bool = True) -> np.ndarray:
+    """Inner-facing leg vertices: sort by T-pose x — `link_utils.py:86-117`."""
+    theta = np.zeros((1, 3 + model.pose_dim + 10), np.float32)
+    theta[0, 0] = 1.0
+    theta[0, -10:] = LINKER_MEAN_SHAPE
+    verts = np.asarray(smpl_mod.get_details(model, jnp.asarray(theta))["verts"][0])
+    leg_ids = leg_ids[(leg_ids >= 0) & (leg_ids < len(verts))]
+    x = verts[leg_ids, 0]
+    n = int(len(leg_ids) * rate)
+    order = np.argsort(x)
+    return leg_ids[order[:n]] if right else leg_ids[order[::-1][:n]]
+
+
+def smpl_link(model, theta: np.ndarray, skirt_y: float,
+              leg_ids: Optional[tuple[np.ndarray, np.ndarray]] = None) -> np.ndarray:
+    """Link inner leg vertices below the skirt hem to the opposite leg —
+    `SmplLinker.link` (`link_utils.py:144-197`).
+
+    Each inner-leg vertex whose projected y lies below the hem
+    (`(y + cam_ty) * cam_s <= skirt_y`) links to the opposite leg's nearest
+    vertex by y distance, so skinning moves both legs together under the
+    skirt (consumed by `lbs(links_ids=...)`, `models/smpl.py:440`).
+
+    Args:
+        theta: (85,) or (1, 85) cam+pose+shape; skirt_y: hem in NDC y.
+
+    Returns:
+        links_ids: (L, 3) int32 (from_vert, to_vert, flag=1).
+    """
+    if leg_ids is None:
+        leg_ids = load_leg_vertex_ids()
+    if leg_ids is None:
+        return np.zeros((0, 3), np.int32)
+    left_ids, right_ids = leg_ids
+    theta = np.asarray(theta, np.float32).reshape(1, -1)
+    details = smpl_mod.get_details(model, jnp.asarray(theta))
+    verts = np.asarray(details["verts"][0])
+    cam = np.asarray(details["cam"][0])
+    V = len(verts)
+    left_ids = left_ids[(left_ids >= 0) & (left_ids < V)]
+    right_ids = right_ids[(right_ids >= 0) & (right_ids < V)]
+    if len(left_ids) == 0 or len(right_ids) == 0:
+        return np.zeros((0, 3), np.int32)
+
+    inner_r = _inner_leg_ids(model, right_ids, right=True)
+    inner_l = _inner_leg_ids(model, left_ids, right=False)
+
+    def _links(inner, opposite):
+        # nearest opposite-leg vertex by y only (`link_utils.py:120-145`)
+        dy = (verts[inner, 1][:, None] - verts[opposite, 1][None, :]) ** 2
+        nearest = opposite[np.argmin(dy, axis=1)]
+        proj_y = (verts[inner, 1] + cam[2]) * cam[0]
+        keep = proj_y <= skirt_y
+        return inner[keep], nearest[keep]
+
+    fr_r, to_r = _links(inner_r, left_ids)
+    fr_l, to_l = _links(inner_l, right_ids)
+    fr = np.concatenate([fr_r, fr_l])
+    to = np.concatenate([to_r, to_l])
+    flags = np.ones_like(fr)
+    return np.stack([fr, to, flags], axis=1).astype(np.int32)
+
+
+def find_cloth_links_schp(parser, image: np.ndarray, theta: np.ndarray,
+                          model) -> tuple[bool, np.ndarray]:
+    """Skirt/dress-aware cloth links — `ClothSmplLinkDeformer.find_links`
+    (`clothlinks_deformer.py:24-65`): SCHP skirt+dress mask -> lowest hem row
+    -> NDC y -> `smpl_link`.
+
+    Args:
+        parser: `tools.parsers.SchpParser` (trained); image: (H, W, 3) [-1, 1].
+
+    Returns:
+        (found, links_ids (L, 3) int32).
+    """
+    found, masks = parser.run(image[None], target="skirt+dress")
+    if not found or not len(masks) or masks[0].sum() == 0:
+        return False, np.zeros((0, 3), np.int32)
+    mask = masks[0]
+    rows = np.nonzero(mask.any(axis=1))[0]
+    skirt_y = rows[-1] / mask.shape[0] * 2.0 - 1.0
+    links = smpl_link(model, theta, skirt_y)
+    return len(links) > 0, links
 
 
 def find_cloth_links(verts: np.ndarray, cloth_mask_low_y: float) -> np.ndarray:

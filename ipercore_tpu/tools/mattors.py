@@ -137,6 +137,12 @@ class HumanMattor:
         return np.asarray(alpha), np.asarray(mask)
 
 
-def build_mattor(name: str = "person_seg+refine", **kw) -> HumanMattor:
-    """Builder parity with `build_mattor` (`preprocessors.py:83-123`)."""
+def build_mattor(name: str = "person_seg+refine", **kw):
+    """Builder parity with `build_mattor` (`preprocessors.py:83-123`):
+    "person_seg+refine" (role of point_render+gca) or "schp" (the SCHP LIP-20
+    parser as the person-mask source, `schp_parser.py:599`)."""
+    if name in ("schp", "schp+gca"):
+        from ipercore_tpu.tools.parsers import SchpParser
+
+        return SchpParser(params=kw.get("params"))
     return HumanMattor(**kw)

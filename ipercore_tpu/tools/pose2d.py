@@ -220,3 +220,22 @@ def body25_to_cocoplus(kps: np.ndarray, scores: np.ndarray):
     """Map Body-25 keypoints to the 19-joint cocoplus convention."""
     m = BODY25_TO_COCOPLUS19
     return kps[..., m, :], scores[..., m]
+
+
+def build_pose2d_estimator(name: str = "openpose_body25", **kw):
+    """Builder parity with `build_pose2d_estimator` (`preprocessors.py:9-13`):
+    "openpose_body25" (default, `deploy.toml:158`) or "mobilenet" (the
+    lightweight COCO-18 variant, `openpose/models/mobilenet.py`)."""
+    if name in ("openpose_body25", "openpose", "body25"):
+        return OpenPoseRunner(**kw)
+    if name in ("mobilenet", "lightweight"):
+        from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPose
+
+        net = MobilenetOpenPose()
+        params = kw.get("params")
+        if params is None:
+            params = jax.jit(net.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, kw.get("input_size", 256), kw.get("input_size", 256), 3)))
+        return net, params
+    raise KeyError(f"unknown pose2d estimator {name!r}")

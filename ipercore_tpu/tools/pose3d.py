@@ -22,28 +22,9 @@ import optax
 
 from ipercore_tpu.models import smpl as smpl_mod
 from ipercore_tpu.ops.rotations import rot6d_to_rotmat, rotmat_to_axis_angle, axis_angle_to_rot6d
-from ipercore_tpu.models.networks.blocks import PAD3
+from ipercore_tpu.models.networks.blocks import PAD3, FrozenBatchNorm
 
 HMR_IMG_SIZE = 224
-
-
-class FrozenBatchNorm(nn.Module):
-    """Inference-mode BatchNorm with the torch parameter set (scale/bias +
-    running mean/var) held as plain params — SPIN checkpoints are BatchNorm
-    (`spin/network.py:30-90`), so the trunk must be too (round 1 used
-    GroupNorm, making weight conversion impossible)."""
-
-    features: int
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = scale * jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv + bias
 
 
 class Bottleneck(nn.Module):

@@ -97,7 +97,7 @@ class Preprocessor:
             from ipercore_tpu.models import smpl as smpl_mod
 
             self._body_model = (smpl_mod.synthetic_model(nu=20, nv=18)
-                                if self.smoke else smpl_mod.synthetic_model())
+                                if self.smoke else smpl_mod.template_model())
         return self._body_model
 
     # lazy builders (each model compiles on first use)
@@ -204,10 +204,30 @@ class Preprocessor:
                     kps, scores, valid = self.pose2d.run_tracked(spin_in)
                     from ipercore_tpu.tools.pose2d import body25_to_cocoplus
 
-                    kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
+                    if len(kps) > 5:
+                        # left/right swap fix by NN re-permutation against the
+                        # median track (`smooth.py:141-190`)
+                        from ipercore_tpu.utils.smoothing import pose2d_temporal_filter
+
+                        stacked = np.concatenate(
+                            [kps, (scores * valid)[..., None]], axis=-1)
+                        stacked = pose2d_temporal_filter(stacked, window_size=5)
+                        kps = stacked[..., :2]
+                        scores = stacked[..., 2]
+                        valid = (scores > 0).astype(np.float32)
+                        kps19, conf19 = body25_to_cocoplus(kps, scores)
+                    else:
+                        kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
+                    init_theta = theta
                     theta = np.asarray(smplify_refine(
                         self.body_model, jnp.asarray(theta),
                         jnp.asarray(kps19), jnp.asarray(conf19)))
+                    # outlier SMPLify results fall back to the SPIN init
+                    # (`smooth.py:223-251`)
+                    from ipercore_tpu.utils.smoothing import pose_temporal_smooth
+
+                    theta[:, 3:-10] = pose_temporal_smooth(
+                        init_theta[:, 3:-10], theta[:, 3:-10])
             info.set_array("smpls", theta.astype(np.float32))
             info.mark_run("pose3d")
             info.serialize()

@@ -313,6 +313,79 @@ def train_step(
     return new_state, metrics
 
 
+def eval_step(
+    state: LWGTrainState,
+    batch: dict,
+    comp: fc.FlowComposer,
+    generator,
+    discriminator,
+    vgg,
+    vgg_params,
+    face,
+    face_params,
+    cfg: TrainConfig,
+    ns: int = 2,
+) -> dict:
+    """Validation forward: the G losses of `train_step` with no parameter
+    update — the role of `Train._display_visualizer_val` (`train.py:210-237`),
+    which runs `set_input` + `forward` on held-out batches and reports the
+    same loss dict."""
+    images = batch["images"]
+    smpls = batch["smpls"]
+    masks = batch["masks"]
+    bs = images.shape[0]
+    nt = images.shape[1] - ns
+    S = comp.image_size
+
+    src_img, ref_img = images[:, :ns], images[:, ns:]
+    src_smpl, ref_smpl = smpls[:, :ns], smpls[:, ns:]
+    src_mask, ref_mask = masks[:, :ns], masks[:, ns:]
+
+    comp_out = fc.forward(comp, src_img, ref_img, src_smpl, ref_smpl,
+                          src_mask=src_mask, ref_mask=ref_mask,
+                          temporal=cfg.temporal)
+    ref_j2d = comp_out["ref_info"]["j2d"]
+    head_bbox = cal_head_bbox_by_kps(ref_j2d)
+    body_bbox = cal_body_bbox_by_kps(ref_j2d)
+    real_bg = batch["bg"]
+    tsf_cond = comp_out["input_G_tsf"][..., 3:6].reshape(bs * nt, S, S, 3)
+    real_tsf = ref_img.reshape(bs * nt, S, S, 3)
+
+    outs = generator.apply(state.params_G, comp_out["input_G_bg"],
+                           comp_out["input_G_src"], comp_out["input_G_tsf"],
+                           comp_out["Tst"], comp_out["Ttt"], False)
+    fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = outs
+    if fake_bg is None:
+        fake_bg_b = jnp.broadcast_to(real_bg[:, None], (bs, 1, S, S, 3))
+    else:
+        fake_bg_b = fake_bg[:, 0:1]
+    fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
+    fake_tsf_imgs = _composite(fake_tsf_color, fake_tsf_mask, fake_bg_b)
+    flat_tsf = fake_tsf_imgs.reshape(bs * nt, S, S, 3)
+
+    loss_rec = (C.l1_loss(fake_src_imgs, src_img)
+                + C.l1_loss(fake_bg_b[:, 0], real_bg)) / 2.0 * cfg.lambda_rec
+    loss_tsf = C.perceptual_loss(vgg_params, vgg.apply, flat_tsf, real_tsf) * cfg.lambda_tsf
+    if cfg.use_face:
+        loss_face = C.face_loss(face_params, face.apply, flat_tsf, real_tsf,
+                                head_bbox, head_bbox) * cfg.lambda_face
+    else:
+        loss_face = jnp.zeros(())
+    if cfg.use_gan:
+        d_in = jnp.concatenate([flat_tsf, tsf_cond], axis=-1)
+        d_outs = discriminator.apply(state.params_D, d_in, None, body_bbox, head_bbox)
+        loss_adv = C.lsgan_loss(d_outs, 0.0) * cfg.lambda_d_prob
+    else:
+        loss_adv = jnp.zeros(())
+    fake_masks = jnp.concatenate([fake_src_mask, fake_tsf_mask], axis=1)
+    loss_mask = C.mask_bce_loss(
+        fake_masks.reshape(-1, S, S, 1), masks.reshape(-1, S, S, 1)) * cfg.lambda_mask
+    total = loss_rec + loss_tsf + loss_face + loss_adv + loss_mask
+    return {"val_g_rec": loss_rec, "val_g_tsf": loss_tsf,
+            "val_g_face": loss_face, "val_g_adv": loss_adv,
+            "val_g_mask": loss_mask, "val_g_total": total}
+
+
 def make_sharded_train_step(
     comp, generator, discriminator, vgg, vgg_params, face, face_params, cfg,
     mesh, ns: int = 2, axis_name: str = "data",

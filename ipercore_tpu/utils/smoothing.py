@@ -80,3 +80,84 @@ def interpolate_invalid_kps(kps: np.ndarray, valid: np.ndarray) -> np.ndarray:
         for d in range(kps.shape[2]):
             kps[~good, k, d] = np.interp(t[~good], t[good], kps[good, k, d])
     return kps
+
+
+def median_filter_time(x: np.ndarray, window: int) -> np.ndarray:
+    """Median filter along axis 0 — `smooth.py:97-112` (`mean_filter`,
+    which despite its name is scipy's median_filter)."""
+    try:
+        from scipy.ndimage import median_filter
+
+        size = (window,) + (1,) * (x.ndim - 1)
+        return median_filter(x, size=size, mode="nearest")
+    except Exception:
+        return x
+
+
+def pose2d_temporal_filter(
+    keypoints: np.ndarray, window_size: int = 5, mode: str = "median",
+    fc: float = 300.0,
+) -> np.ndarray:
+    """Fix left/right joint swaps by nearest-neighbour re-permutation against
+    a temporally filtered track — `pose2d_temporal_filter` (`smooth.py:141-190`).
+
+    A 2D estimator often localizes joints correctly but flips their left/right
+    identities for a few frames; smoothing the track and snapping each frame's
+    joints to their nearest smoothed slot undoes the flip.
+
+    Args:
+        keypoints: (T, J, 2 or 3) with optional per-joint score;
+        mode: "median" or "low-pass".
+
+    Returns:
+        (T, J, C) re-permuted keypoints.
+    """
+    kps = np.asarray(keypoints, np.float32)
+    T, J, C = kps.shape
+    if mode == "median":
+        filtered = median_filter_time(kps, window_size)
+    elif mode == "low-pass":
+        filtered = lowpass_filtfilt(kps.reshape(T, -1), fc=fc).reshape(T, J, C)
+    else:
+        raise ValueError(f"mode must be median|low-pass, got {mode}")
+
+    # (T, J, J) pairwise distances query x smoothed
+    diff = kps[:, :, None, 0:2] - filtered[:, None, :, 0:2]
+    dist = np.sum(diff ** 2, axis=-1)
+    nn_ids = np.argmin(dist, axis=2)  # smoothed slot nearest to each query
+
+    # reference semantics (`smooth.py:183-186`): output slot j takes the
+    # original joint whose nearest smoothed slot chain picks it
+    out = np.take_along_axis(kps, nn_ids[:, :, None], axis=1)
+    return out
+
+
+def pose_temporal_smooth(
+    init_pose: np.ndarray, opt_pose: np.ndarray, threshold: float = 10.0
+) -> np.ndarray:
+    """Replace outlier optimized poses with their initializations —
+    `pose_temporal_smooth` (`smooth.py:223-251`): frames where the rot6d L1
+    distance between the SPIN init and the SMPLify result exceeds `threshold`
+    are assumed diverged and fall back to the init pose.
+
+    Args:
+        init_pose, opt_pose: (T, 72) axis-angle body poses.
+
+    Returns:
+        (T, 72) with diverged frames replaced.
+    """
+    import jax.numpy as jnp
+
+    from ipercore_tpu.ops import rotations as rot
+
+    init_pose = np.asarray(init_pose, np.float32)
+    opt_pose = np.asarray(opt_pose, np.float32)
+    T = opt_pose.shape[0]
+    init6d = np.asarray(rot.axis_angle_to_rot6d(
+        jnp.asarray(init_pose.reshape(-1, 3)))).reshape(T, -1)
+    opt6d = np.asarray(rot.axis_angle_to_rot6d(
+        jnp.asarray(opt_pose.reshape(-1, 3)))).reshape(T, -1)
+    diff = np.abs(init6d - opt6d).sum(axis=1)
+    out = opt_pose.copy()
+    out[diff > threshold] = init_pose[diff > threshold]
+    return out

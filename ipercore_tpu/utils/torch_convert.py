@@ -346,3 +346,133 @@ def convert_openpose(sd: dict, like) -> tuple[dict, list[str]]:
         else:
             report.append("UNMAPPED " + key)
     return _finish(tree, params), report
+
+
+def _put_abn(sd, params, torch_key, flax_path, report):
+    """InPlaceABNSync -> `parsers.ABN` {bn: {scale, bias, mean, var}}.
+
+    Checkpoints saved from the reference wrapper nest the stats under
+    `<key>.bn.*` (`schp_parser.py:215-229`); checkpoints saved from the real
+    mapillary inplace_abn keep them directly on `<key>.*` — both accepted.
+    """
+    key = torch_key + ".bn" if torch_key + ".bn.weight" in sd else torch_key
+    _put_bn(sd, params, key, flax_path + ["bn"], report)
+
+
+def convert_schp(sd: dict, like) -> tuple[dict, list[str]]:
+    """SCHP `exp-schp-lip.pth` state dict -> `tools.parsers.SchpNet` params.
+
+    Torch layout (`schp_parser.py:384-455`): 3-conv stem conv{1-3}/bn{1-3},
+    layer{1-4}.{b}.{conv,bn}{1-3} + downsample.{0,1} (ResNet-101: 3/4/23/3),
+    context_encoding.stages.{0-3}.{1,2} + bottleneck.{0,1}, edge.conv{1-3}.
+    {0,1} + conv4/conv5, decoder.conv{1,2}.{0,1} + conv3.{0-3} + conv4,
+    fushion.{0,1,3}.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+
+    for i in (1, 2, 3):
+        _put_conv(sd, params, f"conv{i}", [f"conv{i}"], report)
+        _put_bn(sd, params, f"bn{i}", [f"bn{i}"], report)
+    for l, blocks in enumerate((3, 4, 23, 3), start=1):
+        for b in range(blocks):
+            t = f"layer{l}.{b}"
+            f = [f"layer{l}_{b}"]
+            for j in (1, 2, 3):
+                _put_conv(sd, params, f"{t}.conv{j}", f + [f"conv{j}"], report)
+                _put_bn(sd, params, f"{t}.bn{j}", f + [f"bn{j}"], report)
+            if f"{t}.downsample.0.weight" in sd:
+                _put_conv(sd, params, f"{t}.downsample.0", f + ["downsample_conv"], report)
+                _put_bn(sd, params, f"{t}.downsample.1", f + ["downsample_bn"], report)
+
+    ce = ["context_encoding"]
+    for i in range(4):
+        _put_conv(sd, params, f"context_encoding.stages.{i}.1",
+                  ce + [f"stage{i}_conv"], report)
+        _put_abn(sd, params, f"context_encoding.stages.{i}.2",
+                 ce + [f"stage{i}_abn"], report)
+    _put_conv(sd, params, "context_encoding.bottleneck.0",
+              ce + ["bottleneck_conv"], report)
+    _put_abn(sd, params, "context_encoding.bottleneck.1",
+             ce + ["bottleneck_abn"], report)
+
+    for i in (1, 2, 3):
+        _put_conv(sd, params, f"edge.conv{i}.0", ["edge", f"conv{i}_conv"], report)
+        _put_abn(sd, params, f"edge.conv{i}.1", ["edge", f"conv{i}_abn"], report)
+    _put_conv(sd, params, "edge.conv4", ["edge", "conv4"], report)
+    _put_conv(sd, params, "edge.conv5", ["edge", "conv5"], report)
+
+    dec = ["decoder"]
+    _put_conv(sd, params, "decoder.conv1.0", dec + ["conv1_conv"], report)
+    _put_abn(sd, params, "decoder.conv1.1", dec + ["conv1_abn"], report)
+    _put_conv(sd, params, "decoder.conv2.0", dec + ["conv2_conv"], report)
+    _put_abn(sd, params, "decoder.conv2.1", dec + ["conv2_abn"], report)
+    _put_conv(sd, params, "decoder.conv3.0", dec + ["conv3a_conv"], report)
+    _put_abn(sd, params, "decoder.conv3.1", dec + ["conv3a_abn"], report)
+    _put_conv(sd, params, "decoder.conv3.2", dec + ["conv3b_conv"], report)
+    _put_abn(sd, params, "decoder.conv3.3", dec + ["conv3b_abn"], report)
+    _put_conv(sd, params, "decoder.conv4", dec + ["conv4"], report)
+
+    _put_conv(sd, params, "fushion.0", ["fushion_conv"], report)
+    _put_abn(sd, params, "fushion.1", ["fushion_abn"], report)
+    _put_conv(sd, params, "fushion.3", ["fushion_head"], report)
+    return _finish(tree, params), report
+
+
+def convert_mobilenet_openpose(sd: dict, like) -> tuple[dict, list[str]]:
+    """Lightweight Mobilenet OpenPose checkpoint -> `tools.pose2d_mobilenet.
+    MobilenetOpenPose` params.
+
+    Torch layout (`mobilenet.py:122-158`, Osokin's checkpoint): sequential
+    `model.{i}.{j}` trunk (conv/bn indices inside each block), `cpm.align.0`,
+    `cpm.trunk.{i}.{0,2}`, `cpm.conv.0`, `initial_stage.{trunk.{i}.0,
+    heatmaps.{0,1}.0, pafs.{0,1}.0}`, `refinement_stages.{r}.trunk.{b}.
+    {initial.0, trunk.{0,1}.0}` + heads.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+
+    # stem: model.0.{0 conv, 1 bn}
+    _put_conv(sd, params, "model.0.0", ["model0_conv"], report)
+    _put_bn(sd, params, "model.0.1", ["model0_bn"], report)
+    # depthwise blocks: model.{i}.{0 dw, 1 bn, 3 pw, 4 bn}
+    for i in range(1, 12):
+        f = [f"model{i}"]
+        _put_conv(sd, params, f"model.{i}.0", f + ["dw"], report)
+        _put_bn(sd, params, f"model.{i}.1", f + ["dwbn"], report)
+        _put_conv(sd, params, f"model.{i}.3", f + ["pw"], report)
+        _put_bn(sd, params, f"model.{i}.4", f + ["pwbn"], report)
+
+    _put_conv(sd, params, "cpm.align.0", ["cpm", "align"], report)
+    for i in range(3):
+        _put_conv(sd, params, f"cpm.trunk.{i}.0", ["cpm", f"trunk{i}", "dw"], report)
+        _put_conv(sd, params, f"cpm.trunk.{i}.2", ["cpm", f"trunk{i}", "pw"], report)
+    _put_conv(sd, params, "cpm.conv.0", ["cpm", "conv"], report)
+
+    ini = ["initial_stage"]
+    for i in range(3):
+        _put_conv(sd, params, f"initial_stage.trunk.{i}.0", ini + [f"trunk{i}"], report)
+    _put_conv(sd, params, "initial_stage.heatmaps.0.0", ini + ["hm0"], report)
+    _put_conv(sd, params, "initial_stage.heatmaps.1.0", ini + ["hm1"], report)
+    _put_conv(sd, params, "initial_stage.pafs.0.0", ini + ["paf0"], report)
+    _put_conv(sd, params, "initial_stage.pafs.1.0", ini + ["paf1"], report)
+
+    r = 0
+    while f"refinement_stages.{r}.trunk.0.initial.0.weight" in sd:
+        ref = [f"refine{r}"]
+        for b in range(5):
+            t = f"refinement_stages.{r}.trunk.{b}"
+            f = ref + [f"block{b}"]
+            _put_conv(sd, params, f"{t}.initial.0", f + ["initial"], report)
+            _put_conv(sd, params, f"{t}.trunk.0.0", f + ["trunk0"], report)
+            _put_bn(sd, params, f"{t}.trunk.0.1", f + ["trunk0_bn"], report)
+            _put_conv(sd, params, f"{t}.trunk.1.0", f + ["trunk1"], report)
+            _put_bn(sd, params, f"{t}.trunk.1.1", f + ["trunk1_bn"], report)
+        _put_conv(sd, params, f"refinement_stages.{r}.heatmaps.0.0", ref + ["hm0"], report)
+        _put_conv(sd, params, f"refinement_stages.{r}.heatmaps.1.0", ref + ["hm1"], report)
+        _put_conv(sd, params, f"refinement_stages.{r}.pafs.0.0", ref + ["paf0"], report)
+        _put_conv(sd, params, f"refinement_stages.{r}.pafs.1.0", ref + ["paf1"], report)
+        r += 1
+    return _finish(tree, params), report

@@ -54,6 +54,9 @@ def write_png(path: str, img: np.ndarray) -> None:
     h, w = img.shape[:2]
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
+    colortype = {1: 0, 3: 2, 4: 6}.get(img.shape[2])
+    if colortype is None:
+        raise ValueError(f"write_png: unsupported channel count {img.shape[2]}")
     raw = native.png_filter_sub(img.reshape(h, -1), bpp=img.shape[2])
     if raw is None:
         raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
@@ -62,7 +65,7 @@ def write_png(path: str, img: np.ndarray) -> None:
         c = tag + data
         return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
     with open(path, "wb") as f:
@@ -80,16 +83,22 @@ def read_png(path: str) -> np.ndarray:
     pos = 8
     idat = b""
     w = h = bitdepth = colortype = None
+    interlace = 0
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
             w, h, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12]
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
     assert bitdepth == 8, "only 8-bit PNGs supported"
+    if interlace != 0:
+        raise ValueError("read_png: interlaced (Adam7) PNGs are not supported")
+    if colortype == 3:
+        raise ValueError("read_png: palette PNGs are not supported (colortype 3)")
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
     raw = zlib.decompress(idat)
     stride = w * nch

@@ -145,3 +145,15 @@ def test_sharded_train_step_compiles(rig):
     new_state, metrics = step(state, batch)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["g_total"]))
+
+
+def test_eval_step_metrics(rig):
+    comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state = rig
+    vm = jax.jit(lambda st, b: T.eval_step(
+        st, b, comp, gen, dis, vgg, vgg_params, face, face_params, cfg, ns=NS)
+    )(state, _batch(3))
+    assert set(vm) == {"val_g_rec", "val_g_tsf", "val_g_face", "val_g_adv",
+                       "val_g_mask", "val_g_total"}
+    for k, v in vm.items():
+        assert np.isfinite(float(v)), k
+    # no state mutation by construction: eval_step returns metrics only

@@ -42,3 +42,35 @@ def test_interpolate_invalid_kps():
     valid[1:4, 1] = False
     out = interpolate_invalid_kps(kps, valid)
     np.testing.assert_allclose(out[:, 1, 0], [0, 1, 2, 3, 4], atol=1e-5)
+
+
+def test_pose2d_temporal_filter_fixes_lr_swap():
+    """A mid-sequence left/right label flip is undone by NN re-permutation."""
+    from ipercore_tpu.utils.smoothing import pose2d_temporal_filter
+
+    T, J = 21, 4
+    base = np.stack([
+        np.full((T,), 10.0), np.full((T,), 50.0),
+        np.full((T,), 90.0), np.full((T,), 130.0)], axis=1)  # (T, J) x coords
+    kps = np.stack([base, np.full((T, J), 7.0)], axis=-1)  # (T, J, 2)
+    swapped = kps.copy()
+    swapped[10, 0], swapped[10, 1] = kps[10, 1], kps[10, 0]  # flip joints 0/1
+
+    fixed = pose2d_temporal_filter(swapped, window_size=5, mode="median")
+    np.testing.assert_allclose(fixed[10], kps[10], atol=1e-5)
+    # untouched frames stay identical
+    np.testing.assert_allclose(fixed[0], kps[0], atol=1e-5)
+
+
+def test_pose_temporal_smooth_replaces_outliers():
+    from ipercore_tpu.utils.smoothing import pose_temporal_smooth
+
+    rng = np.random.RandomState(0)
+    T = 8
+    init = rng.uniform(-0.2, 0.2, (T, 72)).astype(np.float32)
+    opt = init.copy()
+    opt[3] += np.pi  # wildly diverged frame
+    opt[5] += 0.01   # tiny refinement — must be kept
+    out = pose_temporal_smooth(init, opt, threshold=10.0)
+    np.testing.assert_allclose(out[3], init[3], atol=1e-6)
+    np.testing.assert_allclose(out[5], opt[5], atol=1e-6)

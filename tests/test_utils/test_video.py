@@ -16,6 +16,25 @@ def test_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_png_rgba_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (12, 18, 4), np.uint8)
+    p = str(tmp_path / "a.png")
+    write_png(p, img)
+    back = read_png(p)
+    # read_png normalizes to 3 channels; RGB must survive exactly.
+    np.testing.assert_array_equal(back, img[..., :3])
+
+
+def test_png_gray_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (9, 7), np.uint8)
+    p = str(tmp_path / "g.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(back, np.repeat(img[..., None], 3, axis=2))
+
+
 def test_float_image_roundtrip(tmp_path):
     rng = np.random.RandomState(1)
     img = rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32)
