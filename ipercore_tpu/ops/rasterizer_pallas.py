@@ -42,7 +42,8 @@ TILE_W = 128
 _BIG = 1e30  # python float: jnp scalars would be captured as kernel constants
 
 
-def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
+def _bin_faces(face_verts: jnp.ndarray, size: int, k: int,
+               extra_cols: jnp.ndarray | None = None):
     """Bin faces to pixel tiles by bbox overlap, nearest-first.
 
     Slots are assigned in order of increasing face min-depth, so when a tile
@@ -51,9 +52,15 @@ def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
     pixels instead of silently losing the visible surface. The true per-tile
     load is returned so callers can detect overflow (`max_tile_load > k`).
 
+    Args:
+        extra_cols: optional (F, E) columns appended to each face's param row
+            BEFORE the per-tile gather — a (1, W) row gather costs one VMEM
+            tile read per index regardless of W, so fusing the aux columns
+            into the same gather halves the binning's HBM traffic.
+
     Returns:
-        params: (n_tiles, k, 16) f32 — barycentric matrix rows (9) +
-            per-vertex depth (3) + NDC bbox (4) for each binned face;
+        params: (n_tiles, k, 16 + E) f32 — barycentric matrix rows (9) +
+            per-vertex depth (3) + NDC bbox (4) [+ extra_cols] per face;
         ids: (n_tiles, k) int32 global face id (for unbinned slots: arbitrary);
         mask: (n_tiles, k) bool — slot holds a real overlapping face;
         true_counts: (n_tiles,) int32 — overlapping faces per tile BEFORE the
@@ -114,7 +121,9 @@ def _bin_faces(face_verts: jnp.ndarray, size: int, k: int):
     bbox = jnp.stack(
         [jnp.min(x, -1), jnp.max(x, -1), jnp.min(y, -1), jnp.max(y, -1)], axis=-1)
     params = jnp.concatenate([M.reshape(-1, 9), z, bbox], axis=-1)  # (F, 16)
-    tile_params = jnp.take(params, ids, axis=0)  # (n_tiles, k, 16)
+    if extra_cols is not None:
+        params = jnp.concatenate([params, extra_cols], axis=-1)
+    tile_params = jnp.take(params, ids, axis=0)  # (n_tiles, k, 16 + E)
     return tile_params, ids, mask, true_counts
 
 
@@ -415,13 +424,12 @@ def rasterize_flows_pallas(
     n_tiles = gy * gx
     J = aux_pts.shape[0]
 
-    tile_params, ids, mask, _true_counts = _bin_faces(face_verts, size, k)
-    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
-    # append aux columns: (J, F, 3, 2) -> (F, 6J), gathered per tile
+    # aux columns: (J, F, 3, 2) -> (F, 6J) as [x0 y0 x1 y1 x2 y2] per flow
+    # set, fused into the binning gather (one take instead of two)
     aux_flat = jnp.transpose(aux_pts, (1, 0, 2, 3)).reshape(aux_pts.shape[1], J * 6)
-    # interleave per flow-set as [x0 y0 x1 y1 x2 y2] (already row-major in (3, 2))
-    tile_aux = jnp.take(aux_flat, ids, axis=0)  # (n_tiles, k, 6J)
-    tile_params = jnp.concatenate([tile_params, tile_aux], axis=-1)
+    tile_params, ids, mask, _true_counts = _bin_faces(
+        face_verts, size, k, extra_cols=aux_flat)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
     maskf = mask.astype(jnp.float32)[..., None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
