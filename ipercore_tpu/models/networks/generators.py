@@ -291,10 +291,8 @@ class InputConcatGenerator(nn.Module):
         bs, ns = src_inputs.shape[0], src_inputs.shape[1]
         nt = tsf_inputs.shape[1]
         bg_img = self.forward_bg(bg_inputs) if bg_inputs is not None else None
-        src_flat = src_inputs.reshape(bs, -1, *src_inputs.shape[3:])  # fold ns into channels
         src_cat = jnp.transpose(src_inputs, (0, 2, 3, 1, 4)).reshape(
-            bs, src_inputs.shape[2], src_inputs.shape[3], -1)
-        del src_flat
+            bs, src_inputs.shape[2], src_inputs.shape[3], -1)  # fold ns into channels
         imgs, masks = [], []
         for t in range(nt):
             x = jnp.concatenate([src_cat, tsf_inputs[:, t]], axis=-1)

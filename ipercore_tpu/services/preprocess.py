@@ -50,41 +50,76 @@ def _collect_frames(path: str, out_dir: str) -> list[str]:
     return out
 
 
-def preprocess_one(opt, meta, is_src: bool) -> ProcessInfo:
-    """Run all stages for one input — `Preprocessor.execute`
-    (`base_preprocessor.py:39-165`)."""
-    from ipercore_tpu.tools.preprocessor import Preprocessor
+def _prepare_one(opt, meta) -> tuple[ProcessInfo, Optional[list[str]]]:
+    """Host-side prep for one input: dirs + manifest + frame extraction.
 
+    Pure host IO (ffmpeg/PNG decode) — safe to run concurrently across
+    inputs; returns `frames=None` when the input is already processed."""
     mp = MetaProcess(meta.name, opt.output_dir).make_dirs()
     info = ProcessInfo.deserialize(mp.processed_dir)
     info.name = meta.name
     info.meta["name"] = meta.name
-
     if info.check_has_been_processed():
-        return info
-
-    pre = Preprocessor(image_size=int(opt.image_size),
-                       smoke=bool(opt.get("preproc_smoke", False)))
-
+        return info, None
     raw_dir = os.path.join(mp.processed_dir, "raw")
-    frames = _collect_frames(meta.path, raw_dir)
+    return info, _collect_frames(meta.path, raw_dir)
+
+
+def preprocess_one(opt, meta, is_src: bool, pre=None) -> ProcessInfo:
+    """Run all stages for one input — `Preprocessor.execute`
+    (`base_preprocessor.py:39-165`)."""
+    from ipercore_tpu.tools.preprocessor import Preprocessor
+
+    info, frames = _prepare_one(opt, meta)
+    if frames is None:
+        return info
     if not frames:
         info.serialize()
         return info
-
+    if pre is None:
+        pre = Preprocessor(image_size=int(opt.image_size),
+                           smoke=bool(opt.get("preproc_smoke", False)))
+    mp = MetaProcess(meta.name, opt.output_dir)
     pre.execute(info, frames, os.path.join(mp.processed_dir, "images"), is_src=is_src)
     info.serialize()
     return info
 
 
 def human_estimate(opt) -> None:
-    """`human_estimate:227`: run the stage pipeline over all src + ref inputs."""
-    for meta in parse_src_input(opt.src_path):
-        if meta.path:
-            preprocess_one(opt, meta, is_src=True)
-    for meta in parse_ref_input(opt.ref_path):
-        if meta.path:
-            preprocess_one(opt, meta, is_src=False)
+    """`human_estimate:227`: run the stage pipeline over all src + ref inputs.
+
+    The reference fans one consumer process per GPU
+    (`preprocess.py:human_estimate:227-268`); with a single TPU chip the
+    device stages stay serialized, but the host-bound prep (video decode,
+    frame PNG io) of ALL inputs runs concurrently in a thread pool and
+    overlaps the device stages of earlier inputs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ipercore_tpu.tools.preprocessor import Preprocessor
+
+    metas = [(m, True) for m in parse_src_input(opt.src_path) if m.path]
+    metas += [(m, False) for m in parse_ref_input(opt.ref_path) if m.path]
+    if not metas:
+        return
+
+    workers = max(1, int(opt.get("preproc_workers", 4)))
+    pre = None
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(_prepare_one, opt, m) for m, _ in metas]
+        for (meta, is_src), fut in zip(metas, futs):
+            info, frames = fut.result()
+            if frames is None:
+                continue
+            if not frames:
+                info.serialize()
+                continue
+            if pre is None:
+                pre = Preprocessor(image_size=int(opt.image_size),
+                                   smoke=bool(opt.get("preproc_smoke", False)))
+            mp = MetaProcess(meta.name, opt.output_dir)
+            pre.execute(info, frames, os.path.join(mp.processed_dir, "images"),
+                        is_src=is_src)
+            info.serialize()
 
 
 def digital_deform(opt) -> None:

@@ -47,11 +47,14 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     assets = load_assets(model)
     comp = fc.make_composer(model, assets, image_size=S,
                             out_dilate_ks=int(opt.get("out_dilate_ks", 51)))
-    gen = build_generator(opt.get("gen_name", "AttLWB-SPADE"), opt.Generator,
+    from ipercore_tpu.trainers import resolve_trainer
+
+    tspec = resolve_trainer(opt.get("train_name", "LWGTrainer"))
+    aug_bg = bool(opt.get("aug_bg", tspec["aug_bg"]))
+    gen = build_generator(opt.get("gen_name", tspec["default_gen"]), opt.Generator,
                           temporal=bool(opt.get("temporal", False)))
     dis = build_discriminator(opt.get("dis_name", "patch_global_body_head"),
-                              opt.Discriminator,
-                              use_aug_bg=bool(opt.get("aug_bg", False)))
+                              opt.Discriminator, use_aug_bg=aug_bg)
     vgg = C.VGGFeatures()
     vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
     face = C.SphereFaceFeatures()
@@ -65,6 +68,7 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         lambda_d_prob=float(tr.lambda_D_prob),
         lr_g=float(tr.lr_G), lr_d=float(tr.lr_D),
         use_face=bool(tr.use_face),
+        aug_bg=aug_bg,
         temporal=bool(opt.get("temporal", False)),
         niters_no_decay=int(tr.get("niters_or_epochs_no_decay", 0)),
         niters_decay=int(tr.get("niters_or_epochs_decay", 0)),

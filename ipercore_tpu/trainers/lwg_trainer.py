@@ -29,6 +29,16 @@ from ipercore_tpu.models.networks import criterions as C
 NECK_IDS = 12  # cocoplus: joints >= 12 are neck/head (`trainers/base.py:202`)
 
 
+def _norm_gen_outputs(outs):
+    """Normalize generator outputs to the LWB 5-tuple. The baseline family
+    (InputConcat / TextureWarping, `input_concat_resunet.py`) has no source
+    reconstruction stream and returns (bg, tsf_color, tsf_mask)."""
+    if len(outs) == 3:
+        bg, tsf_color, tsf_mask = outs
+        return bg, None, None, tsf_color, tsf_mask
+    return outs
+
+
 class TrainConfig(NamedTuple):
     lambda_rec: float = 10.0
     lambda_tsf: float = 10.0
@@ -226,7 +236,8 @@ def train_step(
     def g_loss_fn(params_G):
         outs = generator.apply(params_G, input_G_bg, input_G_src, input_G_tsf,
                                Tst, Ttt, False)
-        fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = outs
+        fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = (
+            _norm_gen_outputs(outs))
         fake_aug_bg = None
         if fake_bg is None:
             fake_bg_b = jnp.broadcast_to(real_bg[:, None], (bs, 1, S, S, 3))
@@ -235,7 +246,6 @@ def train_step(
                 fake_aug_bg = fake_bg[:, -1]
                 fake_bg = fake_bg[:, :-1]
             fake_bg_b = fake_bg[:, 0:1]  # (bs, 1, S, S, 3) shared bg
-        fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
         fake_tsf_imgs = _composite(fake_tsf_color, fake_tsf_mask, fake_bg_b)
 
         flat_tsf = fake_tsf_imgs.reshape(bs * nt, S, S, 3)
@@ -251,7 +261,11 @@ def train_step(
         bg_rec = C.l1_loss(fake_bg_b[:, 0], real_bg)
         if fake_aug_bg is not None:  # supervised inpainting on the clean aug bg
             bg_rec = (bg_rec + C.l1_loss(fake_aug_bg, aug_bg)) / 2.0
-        loss_rec = (C.l1_loss(fake_src_imgs, src_img) + bg_rec) / 2.0 * cfg.lambda_rec
+        if fake_src_color is not None:
+            fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
+            loss_rec = (C.l1_loss(fake_src_imgs, src_img) + bg_rec) / 2.0 * cfg.lambda_rec
+        else:  # baseline family: no source reconstruction stream
+            loss_rec = bg_rec * cfg.lambda_rec
         loss_tsf = C.perceptual_loss(vgg_params, vgg.apply, flat_tsf, real_tsf) * cfg.lambda_tsf
 
         if cfg.use_face:
@@ -260,8 +274,12 @@ def train_step(
         else:
             loss_face = 0.0
 
-        fake_masks = jnp.concatenate([fake_src_mask, fake_tsf_mask], axis=1)
-        body_masks = masks  # background=1, same convention as predicted masks
+        if fake_src_mask is not None:
+            fake_masks = jnp.concatenate([fake_src_mask, fake_tsf_mask], axis=1)
+            body_masks = masks  # background=1, same convention as predicted masks
+        else:
+            fake_masks = fake_tsf_mask
+            body_masks = masks[:, ns:]
         loss_mask = C.mask_bce_loss(
             fake_masks.reshape(-1, S, S, 1), body_masks.reshape(-1, S, S, 1)) * cfg.lambda_mask
         loss_smooth = C.tv_loss(fake_masks.reshape(-1, S, S, 1)) * cfg.lambda_mask_smooth
@@ -354,17 +372,21 @@ def eval_step(
     outs = generator.apply(state.params_G, comp_out["input_G_bg"],
                            comp_out["input_G_src"], comp_out["input_G_tsf"],
                            comp_out["Tst"], comp_out["Ttt"], False)
-    fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = outs
+    fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = (
+        _norm_gen_outputs(outs))
     if fake_bg is None:
         fake_bg_b = jnp.broadcast_to(real_bg[:, None], (bs, 1, S, S, 3))
     else:
         fake_bg_b = fake_bg[:, 0:1]
-    fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
     fake_tsf_imgs = _composite(fake_tsf_color, fake_tsf_mask, fake_bg_b)
     flat_tsf = fake_tsf_imgs.reshape(bs * nt, S, S, 3)
 
-    loss_rec = (C.l1_loss(fake_src_imgs, src_img)
-                + C.l1_loss(fake_bg_b[:, 0], real_bg)) / 2.0 * cfg.lambda_rec
+    bg_rec = C.l1_loss(fake_bg_b[:, 0], real_bg)
+    if fake_src_color is not None:
+        fake_src_imgs = _composite(fake_src_color, fake_src_mask, fake_bg_b)
+        loss_rec = (C.l1_loss(fake_src_imgs, src_img) + bg_rec) / 2.0 * cfg.lambda_rec
+    else:
+        loss_rec = bg_rec * cfg.lambda_rec
     loss_tsf = C.perceptual_loss(vgg_params, vgg.apply, flat_tsf, real_tsf) * cfg.lambda_tsf
     if cfg.use_face:
         loss_face = C.face_loss(face_params, face.apply, flat_tsf, real_tsf,
@@ -377,9 +399,13 @@ def eval_step(
         loss_adv = C.lsgan_loss(d_outs, 0.0) * cfg.lambda_d_prob
     else:
         loss_adv = jnp.zeros(())
-    fake_masks = jnp.concatenate([fake_src_mask, fake_tsf_mask], axis=1)
+    if fake_src_mask is not None:
+        fake_masks = jnp.concatenate([fake_src_mask, fake_tsf_mask], axis=1)
+        body_masks = masks
+    else:
+        fake_masks, body_masks = fake_tsf_mask, masks[:, ns:]
     loss_mask = C.mask_bce_loss(
-        fake_masks.reshape(-1, S, S, 1), masks.reshape(-1, S, S, 1)) * cfg.lambda_mask
+        fake_masks.reshape(-1, S, S, 1), body_masks.reshape(-1, S, S, 1)) * cfg.lambda_mask
     total = loss_rec + loss_tsf + loss_face + loss_adv + loss_mask
     return {"val_g_rec": loss_rec, "val_g_tsf": loss_tsf,
             "val_g_face": loss_face, "val_g_adv": loss_adv,
