@@ -25,6 +25,15 @@ from ipercore_tpu.models import flow_composition as fc
 from ipercore_tpu.ops import rasterizer as rz
 
 
+def use_csr_raster() -> bool:
+    """CSR (sort-binned, manual-DMA) raster kernel for the fused raster+flow
+    pass — ~4x cheaper binning than the top_k table path. Opt-out escape
+    hatch: IPERCORE_CSR_RASTER=0."""
+    import os
+
+    return os.environ.get("IPERCORE_CSR_RASTER", "1") != "0"
+
+
 class SourceCache(NamedTuple):
     """Everything the per-frame loop needs about the source subject.
 
@@ -214,14 +223,19 @@ def make_frame_inputs(
         # flows (matches the cal_bc_transform path within the tested
         # tolerances: >=99.9% fim agreement, flow err < 1e-2 on z-tie pixels —
         # tests/test_ops/test_rasterizer_pallas.py).
-        from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas
-
         proj = rz.project_verts(details["verts"], details["cam"])
         face_verts = rz.verts_to_faces(proj, comp.model.faces)  # (T, F, 3, 3)
         aux = jnp.concatenate(
             [comp.assets.f2uvs[None], cache.src_f2pts], axis=0)  # (1+ns, F, 3, 2)
-        fim, flows = jax.vmap(
-            lambda fv: rasterize_flows_pallas(fv, aux, S))(face_verts)
+        if use_csr_raster():
+            from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas_csr
+
+            fim, flows = rasterize_flows_pallas_csr(face_verts, aux, S)
+        else:
+            from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas
+
+            fim, flows = jax.vmap(
+                lambda fv: rasterize_flows_pallas(fv, aux, S))(face_verts)
         cond = rz.encode_fim(fim, comp.assets.map_fn)
         ref_info = {"fim": fim, "cond": cond, "cam": details["cam"],
                     "verts": details["verts"], "j2d": details["j2d"]}

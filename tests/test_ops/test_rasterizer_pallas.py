@@ -116,3 +116,46 @@ def test_fused_flow_kernel_matches_cal_bc(tmp_path):
         T = rz.cal_bc_transform(aux[j][None], ref.fim[None], ref.wim[None])[0]
         d = np.abs(np.asarray(flows[..., j, :]) - np.asarray(T))[same]
         assert d.max() < 1e-2, d.max()
+
+
+def test_csr_matches_topk_and_xla():
+    """The sort-based CSR binning + manual-DMA kernel must agree with both
+    the top_k-table kernel and the XLA scan (interpret mode); CSR has no
+    per-tile capacity so no overflow class exists at all."""
+    import jax
+
+    from ipercore_tpu.ops.rasterizer_pallas import (
+        rasterize_flows_pallas, rasterize_flows_pallas_csr)
+
+    S = 128
+    fv = jnp.stack([_scene(), _scene()[::-1]])  # (2, F, 3, 3)
+    rng = np.random.RandomState(4)
+    aux = jnp.asarray(rng.uniform(-1, 1, (3,) + fv.shape[1:3] + (2,)), jnp.float32)
+
+    fim_tk, fl_tk = jax.vmap(
+        lambda f: rasterize_flows_pallas(f, aux, S, k=256, chunk=64, interpret=True))(fv)
+    fim_csr, fl_csr, stats = rasterize_flows_pallas_csr(
+        fv, aux, S, chunk=64, interpret=True, with_stats=True)
+    assert int(stats["max_span"]) <= 16
+    ftk, fcs = np.asarray(fim_tk), np.asarray(fim_csr)
+    assert (ftk == fcs).mean() > 0.999
+    same = ftk == fcs
+    d = np.abs(np.asarray(fl_tk) - np.asarray(fl_csr))[same]
+    assert d.max() < 1e-5, d.max()
+    # vs the XLA scan reference
+    fr = np.asarray(rz.rasterize(fv[0], S).fim)
+    assert (fr == fcs[0]).mean() > 0.999
+
+
+def test_csr_truncation_stats_flag():
+    """A face spanning more tiles than entries_per_face must be reported via
+    stats (the CSR analogue of the top_k overflow guard)."""
+    from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas_csr
+
+    # one huge triangle covering most of the image -> span >> 2
+    fv = jnp.asarray([[[[-0.95, -0.95, 1.0], [0.95, -0.95, 1.0], [0.0, 0.95, 1.0]]]],
+                     jnp.float32)
+    aux = jnp.zeros((1, 1, 3, 2), jnp.float32)
+    _, _, stats = rasterize_flows_pallas_csr(
+        fv, aux, 128, entries_per_face=2, chunk=64, interpret=True, with_stats=True)
+    assert int(stats["max_span"]) > 2
