@@ -72,6 +72,8 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         temporal=bool(opt.get("temporal", False)),
         niters_no_decay=int(tr.get("niters_or_epochs_no_decay", 0)),
         niters_decay=int(tr.get("niters_or_epochs_decay", 0)),
+        compute_dtype=str(tr.get("compute_dtype", "float32")),
+        remat=bool(tr.get("remat", False)),
     )
     state = T.create_train_state(jax.random.PRNGKey(0), gen, dis, comp, cfg, ns=ns, nt=nt)
 
@@ -103,10 +105,16 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     except TypeError:
         val_ds = None
     eval_fn = None
+    panel_fn = None
     val_it = None
     if val_ds is not None and len(val_ds) > 0:
         eval_fn = jax.jit(lambda st, b: T.eval_step(
             st, b, comp, gen, dis, vgg, vgg_params, face, face_params, cfg, ns=ns))
+        # image panels on display cadence — the reference's TBVisualizer
+        # image rows (`train.py:190-208`, `tb_visualizer.py:38-76`)
+        panel_fn = jax.jit(lambda st, b: T.eval_step(
+            st, b, comp, gen, dis, vgg, vgg_params, face, face_params, cfg,
+            ns=ns, return_images=True))
         val_it = val_ds.iterate(batch_size=n_dev, seed=7)
     batch_size = max(int(opt.get("batch_size", 1)) * n_dev, n_dev)
     from ipercore_tpu.data.prefetch import prefetch
@@ -118,7 +126,8 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     total = max_iters if max_iters is not None else int(tr.get("total_iters", 400_000))
     save_every_s = float(tr.get("save_latest_freq_s", 300.0))
     print_every_s = float(tr.get("print_freq_s", 30.0))
-    last_save = last_print = time.time()
+    display_every_s = float(tr.get("display_freq_s", 300.0))
+    last_save = last_print = last_display = time.time()
 
     metrics = {}
     for i in range(int(state.step), total):
@@ -135,6 +144,16 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
                 row.update({k: float(v) for k, v in vm.items()})
             logger.log(step=i, **row)
             last_print = now
+        if panel_fn is not None and now - last_display > display_every_s:
+            from ipercore_tpu.utils.visualizer import save_train_panel
+
+            vb = next(val_it)
+            _, imgs = panel_fn(state, {k: jnp.asarray(v) for k, v in vb.items()
+                                       if k in ("images", "smpls", "masks", "bg")})
+            save_train_panel(
+                os.path.join(ckpt_dir, "panels", f"panel_iter_{i:08d}.png"),
+                {k: np.asarray(v) for k, v in imgs.items()})
+            last_display = now
         if now - last_save > save_every_s:
             save_train_ckpt(ckpt_dir, i, jax.device_get(state.params_G),
                             jax.device_get(state.params_D),

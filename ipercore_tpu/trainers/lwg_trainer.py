@@ -57,6 +57,12 @@ class TrainConfig(NamedTuple):
     # niters_decay = 0 -> constant lr.
     niters_no_decay: int = 0
     niters_decay: int = 0
+    # TPU perf knobs: bf16 network compute (master params/optimizer stay f32;
+    # bf16 needs no loss scaling) and generator rematerialization (recompute
+    # the G forward in the backward pass — trades MXU flops for HBM, the
+    # standard 512^2+ memory lever).
+    compute_dtype: str = "float32"
+    remat: bool = False
 
 
 def _schedule(lr: float, cfg: "TrainConfig"):
@@ -232,10 +238,33 @@ def train_step(
 
     tx_g, tx_d = make_optimizers(cfg)
 
+    # bf16 compute path: cast params + activations for the network applies,
+    # losses and grads stay f32 (casts are differentiable; master params and
+    # both Adams remain f32 in the state)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def _cast(t):
+        if cdt is None:
+            return t
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, t)
+
+    def _f32(t):
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), t)
+
+    apply_G = lambda p, a, b, c, d, e: generator.apply(p, a, b, c, d, e, False)
+    if cfg.remat:
+        apply_G = jax.checkpoint(apply_G)
+
+    def apply_D(p, x, mask, bb, hb):
+        return _f32(discriminator.apply(_cast(p), _cast(x), mask, bb, hb))
+
     # ------------------------------------------------------------------ G
     def g_loss_fn(params_G):
-        outs = generator.apply(params_G, input_G_bg, input_G_src, input_G_tsf,
-                               Tst, Ttt, False)
+        outs = _f32(apply_G(_cast(params_G), _cast(input_G_bg),
+                            _cast(input_G_src), _cast(input_G_tsf),
+                            _cast(Tst), _cast(Ttt)))
         fake_bg, fake_src_color, fake_src_mask, fake_tsf_color, fake_tsf_mask = (
             _norm_gen_outputs(outs))
         fake_aug_bg = None
@@ -253,7 +282,7 @@ def train_step(
         # adversarial (G target 0 — `optimize_G:766`)
         if cfg.use_gan:
             d_in = jnp.concatenate([flat_tsf, tsf_cond], axis=-1)
-            d_outs = discriminator.apply(state.params_D, d_in, None, body_bbox, head_bbox)
+            d_outs = apply_D(state.params_D, d_in, None, body_bbox, head_bbox)
             loss_adv = C.lsgan_loss(d_outs, 0.0) * cfg.lambda_d_prob
         else:
             loss_adv = 0.0
@@ -303,8 +332,8 @@ def train_step(
     def d_loss_fn(params_D):
         fake_in = jnp.concatenate([fake_tsf_detached, tsf_cond], axis=-1)
         real_in = jnp.concatenate([real_tsf, tsf_cond], axis=-1)
-        d_fake = discriminator.apply(params_D, fake_in, None, body_bbox, head_bbox)
-        d_real = discriminator.apply(params_D, real_in, None, body_bbox, head_bbox)
+        d_fake = apply_D(params_D, fake_in, None, body_bbox, head_bbox)
+        d_real = apply_D(params_D, real_in, None, body_bbox, head_bbox)
         loss = C.lsgan_loss(d_real, 1.0) + C.lsgan_loss(d_fake, -1.0)
         return loss
 
@@ -343,11 +372,14 @@ def eval_step(
     face_params,
     cfg: TrainConfig,
     ns: int = 2,
+    return_images: bool = False,
 ) -> dict:
     """Validation forward: the G losses of `train_step` with no parameter
     update — the role of `Train._display_visualizer_val` (`train.py:210-237`),
     which runs `set_input` + `forward` on held-out batches and reports the
-    same loss dict."""
+    same loss dict. With `return_images` also returns the visual panel rows
+    (src / ref / fake tsf / fake bg) that the reference's `TBVisualizer`
+    publishes as image panels (`tb_visualizer.py:38-76`)."""
     images = batch["images"]
     smpls = batch["smpls"]
     masks = batch["masks"]
@@ -407,9 +439,18 @@ def eval_step(
     loss_mask = C.mask_bce_loss(
         fake_masks.reshape(-1, S, S, 1), body_masks.reshape(-1, S, S, 1)) * cfg.lambda_mask
     total = loss_rec + loss_tsf + loss_face + loss_adv + loss_mask
-    return {"val_g_rec": loss_rec, "val_g_tsf": loss_tsf,
-            "val_g_face": loss_face, "val_g_adv": loss_adv,
-            "val_g_mask": loss_mask, "val_g_total": total}
+    metrics = {"val_g_rec": loss_rec, "val_g_tsf": loss_tsf,
+               "val_g_face": loss_face, "val_g_adv": loss_adv,
+               "val_g_mask": loss_mask, "val_g_total": total}
+    if return_images:
+        images = {
+            "src": src_img[:, 0],
+            "ref": ref_img[:, 0],
+            "fake_tsf": fake_tsf_imgs[:, 0],
+            "fake_bg": fake_bg_b[:, 0],
+        }
+        return metrics, images
+    return metrics
 
 
 def make_sharded_train_step(

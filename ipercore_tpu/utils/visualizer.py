@@ -62,3 +62,29 @@ def write_visual_video(imgs: np.ndarray, theta: np.ndarray, out_path: str,
         except Exception:
             return out_dir
     return out_dir
+
+
+def save_train_panel(path: str, rows: dict) -> str:
+    """Write a labeled image grid png — the file-based stand-in for the
+    reference's TBVisualizer image panels (`tb_visualizer.py:38-76`,
+    `vis_named_img`): one row per named tensor, one column per batch sample.
+
+    Args:
+        rows: name -> (N, H, W, C) float array in [-1, 1] (C in {1, 3}).
+
+    Returns: the written path.
+    """
+    from ipercore_tpu.utils import video as vid
+
+    tiles = []
+    for name in rows:
+        imgs = np.asarray(rows[name], np.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        if imgs.shape[-1] == 1:
+            imgs = np.repeat(imgs, 3, axis=-1)
+        tiles.append(np.concatenate(list(imgs), axis=1))  # (H, N*W, 3)
+    panel = np.concatenate(tiles, axis=0)  # (R*H, N*W, 3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    vid.save_image(path, np.clip(panel, -1.0, 1.0))
+    return path

@@ -190,3 +190,35 @@ def test_resolve_trainer_unknown():
 
     with pytest.raises(KeyError):
         resolve_trainer("NoSuchTrainer")
+
+
+def test_bf16_remat_train_step(rig):
+    """Mixed-precision (bf16 compute, f32 master/optimizer) + remat G step:
+    finite losses, params move, and the update direction agrees with the f32
+    step (the TPU production configuration for 512^2 training)."""
+    comp, gen, dis, vgg, vgg_params, face, face_params, _, state = rig
+    cfg16 = T.TrainConfig(compute_dtype="bfloat16", remat=True)
+    import functools
+    step16 = jax.jit(functools.partial(
+        T.train_step, comp=comp, generator=gen, discriminator=dis, vgg=vgg,
+        vgg_params=vgg_params, face=face, face_params=face_params, cfg=cfg16, ns=NS))
+    new_state, metrics = step16(state, _batch(11))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # master params stayed f32
+    leaf = jax.tree_util.tree_leaves(new_state.params_G)[0]
+    assert leaf.dtype == jnp.float32
+    # params moved
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params_G, new_state.params_G)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
+    # bf16 losses track the f32 losses closely on the same batch
+    cfg32 = T.TrainConfig()
+    step32 = jax.jit(functools.partial(
+        T.train_step, comp=comp, generator=gen, discriminator=dis, vgg=vgg,
+        vgg_params=vgg_params, face=face, face_params=face_params, cfg=cfg32, ns=NS))
+    _, m32 = step32(state, _batch(11))
+    rel = abs(float(metrics["g_total"]) - float(m32["g_total"])) / (
+        abs(float(m32["g_total"])) + 1e-6)
+    assert rel < 0.08, (float(metrics["g_total"]), float(m32["g_total"]))
