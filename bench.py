@@ -24,8 +24,18 @@ NS = 2
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA compile cache: the 512^2 synthesis graph takes minutes
+    # to compile cold on this box; warm runs start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ipercore_tpu.models import smpl as smpl_mod
     from ipercore_tpu.models import flow_composition as fc
