@@ -98,8 +98,13 @@ def convert_generator(sd: dict, like: Any) -> tuple[dict, list[str]]:
     # 12..17 (each .main.{0,3}); deconvs at 18,21,24; final conv7 at 27.
     if "bg_net.main.0.weight" in sd:
         n_down = 3
-        n_res = sum(1 for k in sd if k.startswith("bg_net.main.")
-                    and k.endswith(".main.0.weight"))
+        # nested pattern "bg_net.main.<i>.main.0.weight" identifies residual
+        # blocks; a bare endswith(".main.0.weight") also matched the OUTER
+        # first conv "bg_net.main.0.weight" and off-by-one'd every deconv
+        import re as _re
+
+        n_res = sum(1 for k in sd
+                    if _re.fullmatch(r"bg_net\.main\.\d+\.main\.0\.weight", k))
         put(["bg_net", "Conv_0"], "bg_net.main.0")
         for i in range(n_down):
             put(["bg_net", f"Conv_{i + 1}"], f"bg_net.main.{3 * (i + 1)}")
