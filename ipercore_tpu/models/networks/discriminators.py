@@ -58,13 +58,16 @@ class PatchDiscriminator(nn.Module):
         kw, pad = 4, ((1, 1), (1, 1))
         x = nn.Conv(self.ndf, (kw, kw), strides=(2, 2), padding=pad)(x)
         x = nn.leaky_relu(x, 0.2)
+        # middle convs keep a bias like the reference (`patch_dis.py:22-26`
+        # only drops it for BatchNorm): the following instance norm cancels
+        # it mathematically, but the parameter exists in torch checkpoints
         for n in range(1, self.n_layers):
             mult = min(2 ** n, self.max_nf_mult)
-            x = nn.Conv(self.ndf * mult, (kw, kw), strides=(2, 2), padding=pad, use_bias=False)(x)
+            x = nn.Conv(self.ndf * mult, (kw, kw), strides=(2, 2), padding=pad)(x)
             x = instance_norm(x)
             x = nn.leaky_relu(x, 0.2)
         mult = min(2 ** self.n_layers, self.max_nf_mult)
-        x = nn.Conv(self.ndf * mult, (kw, kw), strides=(1, 1), padding=pad, use_bias=False)(x)
+        x = nn.Conv(self.ndf * mult, (kw, kw), strides=(1, 1), padding=pad)(x)
         x = instance_norm(x)
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(1, (kw, kw), strides=(1, 1), padding=pad)(x)
@@ -167,12 +170,14 @@ class MultiScaleDiscriminator(nn.Module):
             max_nf_mult=_cfg(self.cfg, "max_nf_mult", 8),
             use_sigmoid=_cfg(self.cfg, "use_sigmoid", False),
         )
-        self.models = [PatchDiscriminator(**kw) for _ in range(self.n_scales)]
+        # named `scale_models` for 1:1 torch-checkpoint key parity
+        # (`multi_scale_dis.py:293-303`)
+        self.scale_models = [PatchDiscriminator(**kw) for _ in range(self.n_scales)]
 
     def __call__(self, x, bg_x=None, body_bbox=None, head_bbox=None):
         outs = []
         cur = x
-        for i, m in enumerate(self.models):
+        for i, m in enumerate(self.scale_models):
             outs.append(m(cur))
             if i != self.n_scales - 1:
                 cur = nn.avg_pool(cur, (2, 2), strides=(2, 2))

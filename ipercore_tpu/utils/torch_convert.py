@@ -481,3 +481,51 @@ def convert_mobilenet_openpose(sd: dict, like) -> tuple[dict, list[str]]:
         _put_conv(sd, params, f"refinement_stages.{r}.pafs.1.0", ref + ["paf1"], report)
         r += 1
     return _finish(tree, params), report
+
+
+def convert_discriminator(sd: dict, like) -> tuple[dict, list[str]]:
+    """Reference discriminator checkpoint -> our discriminator params.
+
+    Handles every variant built from `PatchDiscriminator` sequential stacks
+    (`patch_dis.py:8-72`, `multi_scale_dis.py:47-332`): a bare patch D
+    (`model.{i}`), the global/body/head(/bg) family
+    (`{global,body,head,bg}_model.model.{i}`) and the multi-scale pyramid
+    (`scale_models.{s}.model.{i}`). Instance norm carries no parameters, so
+    only the conv kernels/biases map; torch conv indices are matched to our
+    `Conv_{j}` call order.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+
+    # group conv keys by their submodule prefix (everything before ".model.")
+    groups: dict[str, list[int]] = {}
+    for k in sd:
+        if ".weight" not in k or ".model." not in k and not k.startswith("model."):
+            continue
+        if k.startswith("model."):
+            prefix, idx = "", k.split(".")[1]
+        else:
+            prefix = k.split(".model.")[0]
+            idx = k.split(".model.")[1].split(".")[0]
+        if not idx.isdigit():
+            continue
+        groups.setdefault(prefix, []).append(int(idx))
+
+    for prefix, idxs in sorted(groups.items()):
+        # flax destination submodule
+        if prefix == "":
+            dest = params
+        elif prefix.startswith("scale_models."):
+            name = "scale_models_" + prefix.split(".")[1]
+            dest = params.get(name)
+        else:
+            dest = params.get(prefix)
+        if dest is None:
+            report.append("NO DEST " + (prefix or "<root>"))
+            continue
+        for j, idx in enumerate(sorted(set(idxs))):
+            key = (f"{prefix}.model.{idx}" if prefix else f"model.{idx}")
+            for leaf, val in _conv(sd, key).items():
+                _assign(dest, [f"Conv_{j}", leaf], val, report)
+    return _finish(tree, params), report
