@@ -16,19 +16,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _gather_2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Gather img[iy, ix] with zero fill where invalid.
-
-    img: (H, W, C); iy/ix/valid: (...,) -> returns (..., C).
-    """
-    H, W, C = img.shape
-    iy_c = jnp.clip(iy, 0, H - 1)
-    ix_c = jnp.clip(ix, 0, W - 1)
-    flat = img.reshape(H * W, C)
-    vals = jnp.take(flat, iy_c * W + ix_c, axis=0)
-    return jnp.where(valid[..., None], vals, 0.0)
-
-
 def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample a single image at flow-grid locations.
 
@@ -57,25 +44,56 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wy0 = 1.0 - wy1
 
     x0i = x0.astype(jnp.int32)
-    x1i = x1.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    y1i = y1.astype(jnp.int32)
-
-    vx0 = (x0i >= 0) & (x0i < W)
-    vx1 = (x1i >= 0) & (x1i < W)
-    vy0 = (y0i >= 0) & (y0i < H)
-    vy1 = (y1i >= 0) & (y1i < H)
 
     # coordinates/weights compute in the grid dtype (f32 for accuracy); the
     # blend happens in the image dtype so bf16 feature chains stay bf16.
+    C = img.shape[-1]
     w = lambda a: a[..., None].astype(img.dtype)
-    out = (
-        _gather_2d(img, y0i, x0i, vy0 & vx0) * w(wy0 * wx0)
-        + _gather_2d(img, y0i, x1i, vy0 & vx1) * w(wy0 * wx1)
-        + _gather_2d(img, y1i, x0i, vy1 & vx0) * w(wy1 * wx0)
-        + _gather_2d(img, y1i, x1i, vy1 & vx1) * w(wy1 * wx1)
+
+    if C <= 64:
+        # Single-gather formulation: a TPU row gather reads whole VMEM tiles
+        # per index, so gathering one 4C-wide row (the four bilinear taps
+        # stacked channel-wise from 1-px-shifted copies) costs a fraction of
+        # four C-wide gathers while 4C stays within ~2 lane tiles (measured
+        # at 256^2: C=64 f32 6.8 -> 4.8 ms, bf16 7.6 -> 3.3 ms; at C >= 128
+        # the wider rows erase the win, so the 4-tap path remains below).
+        # A 1-px zero pad makes every shifted tap exact for y0/x0 in
+        # [-1, H-1]; one far-out-of-bounds mask covers the rest (torch
+        # zero-padding semantics).
+        imgp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+        stacked = jnp.concatenate(
+            [imgp[:-1, :-1], imgp[:-1, 1:], imgp[1:, :-1], imgp[1:, 1:]],
+            axis=-1)  # (H+1, W+1, 4C): [tap00 | tap01 | tap10 | tap11]
+
+        by = jnp.clip(y0i + 1, 0, H)
+        bx = jnp.clip(x0i + 1, 0, W)
+        flat = stacked.reshape((H + 1) * (W + 1), 4 * C)
+        taps = jnp.take(flat, by * (W + 1) + bx, axis=0)  # (..., 4C)
+
+        valid = (y0i >= -1) & (y0i <= H - 1) & (x0i >= -1) & (x0i <= W - 1)
+        out = (
+            taps[..., 0 * C:1 * C] * w(wy0 * wx0)
+            + taps[..., 1 * C:2 * C] * w(wy0 * wx1)
+            + taps[..., 2 * C:3 * C] * w(wy1 * wx0)
+            + taps[..., 3 * C:4 * C] * w(wy1 * wx1)
+        )
+        return jnp.where(valid[..., None], out, 0.0)
+
+    def tap(iy, ix):
+        iy_c = jnp.clip(iy, 0, H - 1)
+        ix_c = jnp.clip(ix, 0, W - 1)
+        vals = jnp.take(img.reshape(H * W, C), iy_c * W + ix_c, axis=0)
+        ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        return jnp.where(ok[..., None], vals, 0.0)
+
+    x1i, y1i = x0i + 1, y0i + 1
+    return (
+        tap(y0i, x0i) * w(wy0 * wx0)
+        + tap(y0i, x1i) * w(wy0 * wx1)
+        + tap(y1i, x0i) * w(wy1 * wx0)
+        + tap(y1i, x1i) * w(wy1 * wx1)
     )
-    return out
 
 
 def grid_sample(imgs: jnp.ndarray, grids: jnp.ndarray) -> jnp.ndarray:

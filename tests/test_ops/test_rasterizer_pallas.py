@@ -159,3 +159,29 @@ def test_csr_truncation_stats_flag():
     _, _, stats = rasterize_flows_pallas_csr(
         fv, aux, 128, entries_per_face=2, chunk=64, interpret=True, with_stats=True)
     assert int(stats["max_span"]) > 2
+
+
+def test_csr_span_budget_holds_for_body_poses():
+    """The CSR defaults (entries_per_face=16, ncap=8F) must hold for real
+    body meshes at 512^2 — truncation would silently drop faces. Uses the
+    real SMPL template when the reference assets are present, else the
+    synthetic body."""
+    import jax
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.ops import rasterizer as rzz
+    from ipercore_tpu.ops.rasterizer_pallas import _bin_faces_csr
+
+    model = smpl_mod.template_model()
+    rng = np.random.RandomState(0)
+    theta = np.zeros((4, 85), np.float32)
+    theta[:, 0] = [1.1, 1.6, 2.2, 3.0]  # includes close-up scales
+    theta[:, 3:75] = rng.randn(4, 72).astype(np.float32) * 0.25
+    details = smpl_mod.get_details(model, jnp.asarray(theta))
+    proj = rzz.project_verts(details["verts"], details["cam"])
+    fv = rzz.verts_to_faces(proj, model.faces)
+    F = fv.shape[1]
+    for i in range(4):
+        *_, stats = _bin_faces_csr(fv[i], 512, 16, 8 * F, 128)
+        assert int(stats["max_span"]) <= 16, int(stats["max_span"])
+        assert int(stats["total_entries"]) <= 8 * F, int(stats["total_entries"])

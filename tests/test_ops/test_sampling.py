@@ -40,3 +40,21 @@ def test_resize_flow_shape_and_values():
     out = np.asarray(resize_flow(jnp.asarray(flow), 8, 8))
     assert out.shape == (2, 8, 8, 2)
     np.testing.assert_allclose(out, 0.25, atol=1e-5)
+
+
+def test_wide_and_narrow_channel_paths_agree():
+    """grid_sample has two formulations (C<=64 single stacked gather vs 4-tap
+    gathers); both must produce identical values, including at the borders
+    and out of range."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    H = W = 9
+    grid = jnp.asarray(rng.uniform(-1.4, 1.4, (1, 12, 13, 2)).astype(np.float32))
+    img96 = jnp.asarray(rng.rand(1, H, W, 96).astype(np.float32))
+    out_wide = grid_sample(img96, grid)  # 4-tap path
+    # same content through the stacked path, 32 channels at a time
+    parts = [grid_sample(img96[..., i:i + 32], grid) for i in (0, 32, 64)]
+    out_stacked = jnp.concatenate(parts, axis=-1)
+    np.testing.assert_allclose(np.asarray(out_wide), np.asarray(out_stacked),
+                               atol=1e-6)
