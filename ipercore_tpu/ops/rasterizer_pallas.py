@@ -413,7 +413,8 @@ def _raster_flow_kernel(count_ref, params_ref, mask_ref, local_ref, flow_ref,
 
 
 def _bin_faces_csr(face_verts: jnp.ndarray, size: int, entries_per_face: int,
-                   ncap: int, chunk: int, extra_cols: jnp.ndarray | None = None):
+                   ncap: int, chunk: int, extra_cols: jnp.ndarray | None = None,
+                   tile_h: int = TILE_H, tile_w: int = TILE_W):
     """Sort-based CSR face binning.
 
     Each face contributes up to `entries_per_face` (tile, face) entries (its
@@ -433,7 +434,7 @@ def _bin_faces_csr(face_verts: jnp.ndarray, size: int, entries_per_face: int,
             truncation iff > ncap).
     """
     S = size
-    gy, gx = S // TILE_H, S // TILE_W
+    gy, gx = S // tile_h, S // tile_w
     n_tiles = gy * gx
     E = entries_per_face
 
@@ -446,10 +447,10 @@ def _bin_faces_csr(face_verts: jnp.ndarray, size: int, entries_per_face: int,
     def to_px(v):
         return (v + 1.0) * (S * 0.5) - 0.5
 
-    tx0 = jnp.clip(jnp.floor((to_px(jnp.min(x, -1)) - 1) / TILE_W), 0, gx - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((to_px(jnp.max(x, -1)) + 1) / TILE_W), 0, gx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((to_px(jnp.min(y, -1)) - 1) / TILE_H), 0, gy - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((to_px(jnp.max(y, -1)) + 1) / TILE_H), 0, gy - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((to_px(jnp.min(x, -1)) - 1) / tile_w), 0, gx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((to_px(jnp.max(x, -1)) + 1) / tile_w), 0, gx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((to_px(jnp.min(y, -1)) - 1) / tile_h), 0, gy - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((to_px(jnp.max(y, -1)) + 1) / tile_h), 0, gy - 1).astype(jnp.int32)
 
     ntx = tx1 - tx0 + 1
     nty = ty1 - ty0 + 1
@@ -495,7 +496,7 @@ def _bin_faces_csr(face_verts: jnp.ndarray, size: int, entries_per_face: int,
 
 def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
                             scratch, sem, *, size, chunk, gx_tiles, n_tiles,
-                            n_flows, frame_rows):
+                            n_flows, frame_rows, th=TILE_H, tw=TILE_W):
     """CSR z-buffer + flow kernel: one (frame, pixel-tile) per grid step.
 
     The tile's face list lives at rows_hbm[f, seg : seg + count]; chunks are
@@ -510,10 +511,10 @@ def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
     gx = pl.program_id(2)
     S = size
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    py = (gy * TILE_H + row) * (2.0 / S) + (1.0 - S) / S
-    px = (gx * TILE_W + col) * (2.0 / S) + (1.0 - S) / S
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    py = (gy * th + row) * (2.0 / S) + (1.0 - S) / S
+    px = (gx * tw + col) * (2.0 / S) + (1.0 - S) / S
 
     t = f * n_tiles + gy * gx_tiles + gx
     base = seg_ref[t]
@@ -543,8 +544,10 @@ def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
     eps_px = 2.0 / S
     cids1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)  # (chunk, 1)
 
+    fid_col = 16 + 6 * n_flows  # global face id as an f32 param column
+
     def body(ci, carry):
-        best_z, best_i, best_flow = carry
+        best_z, best_fid, best_flow = carry
         slot = jax.lax.rem(ci, 2)
         get_dma(1 - slot, ci + 1).start()  # prefetch; drained after the loop
         get_dma(slot, ci).wait()
@@ -577,7 +580,7 @@ def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
         zmin = jnp.min(depth, axis=0)
         amin = jnp.argmin(depth, axis=0).astype(jnp.int32)
 
-        cids = jax.lax.broadcasted_iota(jnp.int32, (chunk, TILE_H, TILE_W), 0)
+        cids = jax.lax.broadcasted_iota(jnp.int32, (chunk, th, tw), 0)
         onehot = (cids == amin[None]).astype(jnp.float32)
 
         cand_flows = []
@@ -592,27 +595,30 @@ def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
             cand_flows.append(jnp.sum(onehot * fx, axis=0))
             cand_flows.append(jnp.sum(onehot * fy, axis=0))
         cand_flow = jnp.stack(cand_flows, axis=-1)
+        # winner's global face id (exact in f32: ids < 2^24) — emitting it
+        # here kills the (S*S)-scalar post-kernel id gather entirely
+        cand_fid = jnp.sum(onehot * p[:, fid_col][:, None, None], axis=0)
 
         take = zmin < best_z
         best_z = jnp.where(take, zmin, best_z)
-        best_i = jnp.where(take, ci * chunk + amin, best_i)
-        takef = take.astype(jnp.float32)[..., None]
-        best_flow = takef * cand_flow + (1.0 - takef) * best_flow
-        return best_z, best_i, best_flow
+        takef = take.astype(jnp.float32)
+        best_fid = takef * cand_fid + (1.0 - takef) * best_fid
+        best_flow = takef[..., None] * cand_flow + (1.0 - takef[..., None]) * best_flow
+        return best_z, best_fid, best_flow
 
     init = (
-        jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
-        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-        jnp.zeros((TILE_H, TILE_W, 2 * n_flows), jnp.float32),
+        jnp.full((th, tw), _BIG, jnp.float32),
+        jnp.full((th, tw), -1.0, jnp.float32),
+        jnp.zeros((th, tw, 2 * n_flows), jnp.float32),
     )
-    best_z, best_i, best_flow = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_z, best_fid, best_flow = jax.lax.fori_loop(0, n_chunks, body, init)
 
     # drain the last prefetch (started for ci+1 == n_chunks; for empty tiles
     # this pairs with the unconditional warm-up start of chunk 0)
     get_dma(jax.lax.rem(n_chunks, 2), n_chunks).wait()
 
     hit = best_z < _BIG
-    local_ref[0] = jnp.where(hit, best_i, -1)
+    local_ref[0] = jnp.where(hit, (best_fid + 0.5).astype(jnp.int32), -1)
     hitf = hit.astype(jnp.float32)[..., None]
     flow_ref[0] = hitf * best_flow + (1.0 - hitf) * FLOW_SENTINEL
 
@@ -620,7 +626,7 @@ def _raster_flow_kernel_csr(seg_ref, cnt_ref, rows_hbm, local_ref, flow_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("size", "entries_per_face", "ncap_per_face", "chunk",
-                     "interpret", "with_stats"))
+                     "interpret", "with_stats", "tile_h", "tile_w"))
 def rasterize_flows_pallas_csr(
     face_verts: jnp.ndarray,
     aux_pts: jnp.ndarray,
@@ -630,6 +636,8 @@ def rasterize_flows_pallas_csr(
     chunk: int = 128,
     interpret: bool = False,
     with_stats: bool = False,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
 ):
     """Batched CSR rasterize + flows: the imitator's hot geometry op.
 
@@ -649,20 +657,24 @@ def rasterize_flows_pallas_csr(
         (`max_span > entries_per_face` or `total_entries > ncap`).
     """
     S = size
-    assert S % TILE_W == 0 and S % TILE_H == 0, "size must be a multiple of 128"
-    gy, gx = S // TILE_H, S // TILE_W
+    assert S % tile_w == 0 and S % tile_h == 0, "size must be a tile multiple"
+    gy, gx = S // tile_h, S // tile_w
     n_tiles = gy * gx
     T, F = face_verts.shape[0], face_verts.shape[1]
     J = aux_pts.shape[0]
-    W = 16 + 6 * J
+    W = 16 + 6 * J + 1  # + the fid column
     W_pad = W + (-W % 128)
     # total entries can never exceed F * entries_per_face
     ncap = min(ncap_per_face, entries_per_face) * F
 
     aux_flat = jnp.transpose(aux_pts, (1, 0, 2, 3)).reshape(F, J * 6)
+    # final column: the face's own id, so the kernel emits global fids
+    aux_flat = jnp.concatenate(
+        [aux_flat, jnp.arange(F, dtype=jnp.float32)[:, None]], axis=-1)
     rows, fids, seg, counts, stats = jax.vmap(
         lambda fv: _bin_faces_csr(fv, S, entries_per_face, ncap, chunk,
-                                  extra_cols=aux_flat)
+                                  extra_cols=aux_flat, tile_h=tile_h,
+                                  tile_w=tile_w)
     )(face_verts)
     # rows: (T, ncap + chunk, W); seg/counts: (T, n_tiles); fids: (T, ncap)
 
@@ -671,9 +683,9 @@ def rasterize_flows_pallas_csr(
         grid=(T, gy, gx),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda f, i, j, *_: (f, i, j),
+            pl.BlockSpec((1, tile_h, tile_w), lambda f, i, j, *_: (f, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W, 2 * J),
+            pl.BlockSpec((1, tile_h, tile_w, 2 * J),
                          lambda f, i, j, *_: (f, i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -686,7 +698,7 @@ def rasterize_flows_pallas_csr(
     local, flow = pl.pallas_call(
         functools.partial(_raster_flow_kernel_csr, size=size, chunk=chunk,
                           gx_tiles=gx, n_tiles=n_tiles, n_flows=J,
-                          frame_rows=frame_rows),
+                          frame_rows=frame_rows, th=tile_h, tw=tile_w),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, S, S), jnp.int32),
@@ -695,17 +707,7 @@ def rasterize_flows_pallas_csr(
         interpret=interpret,
     )(seg.reshape(-1), counts.reshape(-1), rows.reshape(T * frame_rows, W_pad))
 
-    # segment-local winner -> global face id via the sorted fid array
-    def to_fim(local_f, seg_f, fids_f):
-        lt = local_f.reshape(gy, TILE_H, gx, TILE_W).transpose(0, 2, 1, 3)
-        lf = lt.reshape(n_tiles, TILE_H * TILE_W)
-        sidx = jnp.clip(seg_f[:, None] + jnp.maximum(lf, 0), 0, ncap - 1)
-        fid = jnp.take(fids_f, sidx)
-        fid = jnp.where(lf >= 0, fid, -1)
-        return (fid.reshape(gy, gx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
-                .reshape(S, S))
-
-    fim = jax.vmap(to_fim)(local, seg, fids)
+    fim = local  # the kernel already emits global face ids (fid column)
     flows = flow.reshape(T, S, S, J, 2)
     if with_stats:
         return fim, flows, jax.tree_util.tree_map(jnp.max, stats)
