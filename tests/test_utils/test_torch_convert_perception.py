@@ -75,9 +75,12 @@ def test_spin_matches_reference_torch():
     from ipercore_tpu.tools.pose3d import SPINNet
     from ipercore_tpu.utils.torch_convert import convert_spin
 
-    # network.py imports torchvision (unused by the SPIN class) — stub it
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
+    # network.py imports torchvision (unused by the SPIN class) — stub it.
+    # Another test may already have registered a PARTIAL torchvision stub
+    # (test_tools/test_parsers.py stubs only torchvision.transforms), so
+    # ensure the .models.resnet chain exists regardless.
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    if "torchvision.models" not in sys.modules:
         tvm = types.ModuleType("torchvision.models")
         tvr = types.ModuleType("torchvision.models.resnet")
         tv.models = tvm
