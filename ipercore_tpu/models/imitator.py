@@ -347,17 +347,22 @@ def synthesize_frames_temporal(
     Args:
         tgt_smpl: (T, 85).
     """
-    tsf_inputs, Tst, ref_info = make_frame_inputs(
-        comp, cache, tgt_smpl, offsets, links_ids, full_ref_info=True)
     T = tgt_smpl.shape[0]
     S = comp.image_size
     ns = cache.src_f2pts.shape[0]
     F = comp.model.faces.shape[0]
 
-    # Ttt between consecutive frames: prev frame's f2pts -> current fim/wim.
-    f2pts_seq = ref_info["f2pts"]  # (T, F, 3, 2)
-    prev_f2pts = jnp.concatenate([f2pts_seq[:1], f2pts_seq[:-1]], axis=0)
-    Ttt_seq = rz.cal_bc_transform(prev_f2pts, ref_info["fim"], ref_info["wim"])  # (T, S, S, 2)
+    if rz._use_pallas(S):
+        tsf_inputs, Tst, Ttt_seq = make_temporal_inputs_fused(
+            comp, cache, tgt_smpl, offsets, links_ids)
+    else:
+        tsf_inputs, Tst, ref_info = make_frame_inputs(
+            comp, cache, tgt_smpl, offsets, links_ids, full_ref_info=True)
+        # Ttt between consecutive frames: prev f2pts -> current fim/wim.
+        f2pts_seq = ref_info["f2pts"]  # (T, F, 3, 2)
+        prev_f2pts = jnp.concatenate([f2pts_seq[:1], f2pts_seq[:-1]], axis=0)
+        Ttt_seq = rz.cal_bc_transform(
+            prev_f2pts, ref_info["fim"], ref_info["wim"])  # (T, S, S, 2)
 
     def rep1(x):
         return x[0:1] if x.shape[0] == 1 else x
@@ -390,6 +395,57 @@ def synthesize_frames_temporal(
 # ---------------------------------------------------------------------------
 # Viewer: target SMPLs synthesized from camera-ring rotations
 # ---------------------------------------------------------------------------
+
+
+def make_temporal_inputs_fused(
+    comp: fc.FlowComposer,
+    cache: SourceCache,
+    tgt_smpl: jnp.ndarray,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Temporal-mode geometry through ONE fused kernel pass per frame.
+
+    The per-frame aux set carries the previous frame's screen f2pts next to
+    the UV/source coordinates, so Ttt (prev->current flow) costs no extra
+    raster — replacing the render_smpl_info + 3x cal_bc_transform fallback.
+
+    Returns:
+        (tsf_inputs (T, S, S, 6), Tst (T, ns, S/st, S/st, 2), Ttt (T, S, S, 2))
+    """
+    from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas_csr
+    from ipercore_tpu.ops.sampling_pallas import (
+        grid_sample_pallas, use_pallas_sampling)
+    from ipercore_tpu.ops.sampling import grid_sample
+
+    S = comp.image_size
+    T = tgt_smpl.shape[0]
+    ns = cache.src_f2pts.shape[0]
+    details = smpl_mod.get_details(comp.model, tgt_smpl, offsets, links_ids)
+    proj = rz.project_verts(details["verts"], details["cam"])
+    face_verts = rz.verts_to_faces(proj, comp.model.faces)  # (T, F, 3, 3)
+    f2pts_seq = face_verts[..., :2]  # (T, F, 3, 2)
+    prev_f2pts = jnp.concatenate([f2pts_seq[:1], f2pts_seq[:-1]], axis=0)
+    shared = jnp.concatenate(
+        [comp.assets.f2uvs[None], cache.src_f2pts], axis=0)  # (1+ns, F, 3, 2)
+    aux = jnp.concatenate(
+        [jnp.broadcast_to(shared, (T,) + shared.shape),
+         prev_f2pts[:, None]], axis=1)  # (T, 2+ns, F, 3, 2)
+    fim, flows = rasterize_flows_pallas_csr(face_verts, aux, S,
+                                            interpret=interpret)
+    cond = rz.encode_fim(fim, comp.assets.map_fn)
+    Tuv2t = flows[..., 0, :]
+    st = 2 if S >= 512 else 1  # finest feature warp runs at S/2
+    Tst = jnp.moveaxis(flows[:, ::st, ::st, 1:1 + ns, :], 3, 1)
+    Ttt_seq = flows[..., 1 + ns, :]  # (T, S, S, 2)
+    uv_rep = jnp.broadcast_to(cache.uv_img, (T,) + cache.uv_img.shape[1:])
+    if use_pallas_sampling() and not interpret:
+        syn = grid_sample_pallas(uv_rep, Tuv2t).astype(cache.uv_img.dtype)
+    else:
+        syn = grid_sample(uv_rep, Tuv2t).astype(cache.uv_img.dtype)
+    tsf_inputs = jnp.concatenate([syn, cond], axis=-1)  # (T, S, S, 6)
+    return tsf_inputs, Tst, Ttt_seq
 
 
 def make_novel_view_smpls(

@@ -644,7 +644,9 @@ def rasterize_flows_pallas_csr(
     Args:
         face_verts: (T, F, 3, 3) projected target-pose faces (batched).
         aux_pts: (J, F, 3, 2) per-flow-set source coordinates (shared
-            across the batch: UV template coords + per-source screen coords).
+            across the batch: UV template coords + per-source screen coords),
+            or (T, J, F, 3, 2) when a flow set varies per frame (temporal
+            mode's previous-frame coordinates).
         entries_per_face: static cap on tiles one face may cover (its bbox
             span, truncated row-major beyond the cap). 16 covers faces up to
             ~4 tile rows x 4 cols; `with_stats` reports the true max span.
@@ -661,21 +663,29 @@ def rasterize_flows_pallas_csr(
     gy, gx = S // tile_h, S // tile_w
     n_tiles = gy * gx
     T, F = face_verts.shape[0], face_verts.shape[1]
-    J = aux_pts.shape[0]
+    per_frame_aux = aux_pts.ndim == 5
+    J = aux_pts.shape[1] if per_frame_aux else aux_pts.shape[0]
     W = 16 + 6 * J + 1  # + the fid column
     W_pad = W + (-W % 128)
     # total entries can never exceed F * entries_per_face
     ncap = min(ncap_per_face, entries_per_face) * F
 
-    aux_flat = jnp.transpose(aux_pts, (1, 0, 2, 3)).reshape(F, J * 6)
-    # final column: the face's own id, so the kernel emits global fids
-    aux_flat = jnp.concatenate(
-        [aux_flat, jnp.arange(F, dtype=jnp.float32)[:, None]], axis=-1)
-    rows, fids, seg, counts, stats = jax.vmap(
-        lambda fv: _bin_faces_csr(fv, S, entries_per_face, ncap, chunk,
-                                  extra_cols=aux_flat, tile_h=tile_h,
-                                  tile_w=tile_w)
-    )(face_verts)
+    fid_col = jnp.arange(F, dtype=jnp.float32)[:, None]
+
+    def flat_aux(a):  # (J, F, 3, 2) -> (F, 6J + 1) with the fid column
+        af = jnp.transpose(a, (1, 0, 2, 3)).reshape(F, J * 6)
+        return jnp.concatenate([af, fid_col], axis=-1)
+
+    bin_one = lambda fv, af: _bin_faces_csr(
+        fv, S, entries_per_face, ncap, chunk, extra_cols=af,
+        tile_h=tile_h, tile_w=tile_w)
+    if per_frame_aux:
+        rows, fids, seg, counts, stats = jax.vmap(
+            lambda fv, a: bin_one(fv, flat_aux(a)))(face_verts, aux_pts)
+    else:
+        aux_flat = flat_aux(aux_pts)
+        rows, fids, seg, counts, stats = jax.vmap(
+            lambda fv: bin_one(fv, aux_flat))(face_verts)
     # rows: (T, ncap + chunk, W); seg/counts: (T, n_tiles); fids: (T, ncap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -170,3 +170,46 @@ def test_swapper_merge(rig):
     assert merged.uv_img.shape == (1, S, S, 3)
     preds, _ = imit.synthesize_frames(comp, gen, params, merged, _theta(2, seed=6))
     assert preds.shape == (2, S, S, 3)
+
+
+def test_temporal_fused_inputs_match_fallback():
+    """The fused temporal geometry (per-frame aux set through ONE kernel
+    pass, interpret mode) must agree with the render_smpl_info +
+    cal_bc_transform fallback the scan otherwise uses."""
+    from ipercore_tpu.ops import rasterizer as rz
+
+    S128 = 128
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    comp = fc.make_composer(model, assets, image_size=S128, out_dilate_ks=11)
+    gen = build_generator("AttLWB-SPADE", CFG)
+    rng = np.random.RandomState(3)
+    src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S128, S128, 3)), jnp.float32)
+    src_smpl = _theta(NS).reshape(1, NS, 85)
+    params = jax.jit(lambda r: gen.init(
+        r, jnp.zeros((1, 1, S128, S128, 4)), jnp.zeros((1, NS, S128, S128, 6)),
+        jnp.zeros((1, 1, S128, S128, 6)), jnp.zeros((1, 1, NS, S128, S128, 2))))(
+        jax.random.PRNGKey(0))
+    cache = jax.jit(lambda p, si, ss: imit.setup_source(comp, gen, p, si, ss))(
+        params, src_img, src_smpl)
+    tgt = _theta(2, seed=5)
+
+    tsf_f, Tst_f, Ttt_f = imit.make_temporal_inputs_fused(
+        comp, cache, tgt, interpret=True)
+
+    # fallback quantities
+    tsf_r, Tst_r, ref_info = imit.make_frame_inputs(
+        comp, cache, tgt, full_ref_info=True, tst_stride=1)
+    f2pts_seq = ref_info["f2pts"]
+    prev = jnp.concatenate([f2pts_seq[:1], f2pts_seq[:-1]], axis=0)
+    Ttt_r = rz.cal_bc_transform(prev, ref_info["fim"], ref_info["wim"])
+
+    # the kernels may break z-ties differently on sliver faces; compare on
+    # the overwhelming majority of agreeing pixels
+    for a, b, name, tol in ((tsf_f, tsf_r, "tsf_inputs", 2e-2),
+                            (Tst_f, Tst_r, "Tst", 2e-2),
+                            (Ttt_f, Ttt_r, "Ttt", 2e-2)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        close = np.isclose(a, b, atol=tol).mean()
+        assert close > 0.99, (name, close)
