@@ -61,50 +61,68 @@ class GatedInpaintor(nn.Module):
         return jnp.tanh(nn.Conv(3, (3, 3), padding=PAD3)(y))
 
 
-class RRDB(nn.Module):
-    """Residual-in-residual dense block (ESRGAN primitive)."""
+class ResidualDenseBlock(nn.Module):
+    """ESRGAN residual dense block: conv1..conv4 emit `growth` channels from
+    the running concat (lrelu 0.2), conv5 projects back to `width`,
+    out = x + 0.2 * conv5 — exact layer parity with the published RRDBNet."""
 
     width: int = 64
     growth: int = 32
 
     @nn.compact
     def __call__(self, x):
-        def dense_block(x):
-            feats = [x]
-            for i in range(4):
-                y = nn.Conv(self.growth, (3, 3), padding=PAD3)(
-                    jnp.concatenate(feats, axis=-1))
-                feats.append(nn.leaky_relu(y, 0.2))
-            out = nn.Conv(self.width, (3, 3), padding=PAD3)(
-                jnp.concatenate(feats, axis=-1))
-            return x + 0.2 * out
+        feats = [x]
+        for i in range(4):
+            y = nn.Conv(self.growth, (3, 3), padding=PAD3,
+                        name=f"conv{i + 1}")(jnp.concatenate(feats, axis=-1))
+            feats.append(nn.leaky_relu(y, 0.2))
+        out = nn.Conv(self.width, (3, 3), padding=PAD3,
+                      name="conv5")(jnp.concatenate(feats, axis=-1))
+        return x + 0.2 * out
 
-        y = x
-        for _ in range(3):
-            y = dense_block(y)
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block: 3 RDBs + 0.2-scaled residual."""
+
+    width: int = 64
+    growth: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        y = ResidualDenseBlock(self.width, self.growth, name="rdb1")(x)
+        y = ResidualDenseBlock(self.width, self.growth, name="rdb2")(y)
+        y = ResidualDenseBlock(self.width, self.growth, name="rdb3")(y)
         return x + 0.2 * y
 
 
 class RRDBNet(nn.Module):
-    """ESRGAN 4x super-resolution — role of `esrgan_x4c64b23g32` (:57-59)."""
+    """ESRGAN 4x RRDBNet — exact architecture of the reference's SR net
+    (`esrgan_psnr_x4c64b23g32_1x16_1000k_div2k` ckpt wired by
+    `mmedit_inpaintors.py:57-59`): conv_first, 23 RRDBs, conv_body residual
+    trunk, nearest-2x conv_up1/conv_up2, conv_hr, linear conv_last; lrelu 0.2.
+    Operates in the checkpoint's native [0, 1] image domain.
+    `utils.torch_convert.convert_esrgan` drops the published weights in."""
 
     width: int = 64
-    n_blocks: int = 6  # the full ESRGAN uses 23; 6 keeps compile fast
+    growth: int = 32
+    n_blocks: int = 23
 
     @nn.compact
     def __call__(self, x):
-        """x: (N, H, W, 3) in [-1, 1] -> (N, 4H, 4W, 3)."""
-        feat = nn.Conv(self.width, (3, 3), padding=PAD3)(x)
+        """x: (N, H, W, 3) in [0, 1] -> (N, 4H, 4W, 3)."""
+        feat = nn.Conv(self.width, (3, 3), padding=PAD3, name="conv_first")(x)
         y = feat
-        for _ in range(self.n_blocks):
-            y = RRDB(self.width)(y)
-        y = nn.Conv(self.width, (3, 3), padding=PAD3)(y) + feat
-        for _ in range(2):  # 2 x nearest-neighbour 2x upsample
+        for i in range(self.n_blocks):
+            y = RRDB(self.width, self.growth, name=f"body_{i}")(y)
+        y = feat + nn.Conv(self.width, (3, 3), padding=PAD3, name="conv_body")(y)
+        for nm in ("conv_up1", "conv_up2"):
             n, h, w, c = y.shape
             y = jax.image.resize(y, (n, h * 2, w * 2, c), "nearest")
-            y = nn.leaky_relu(nn.Conv(self.width, (3, 3), padding=PAD3)(y), 0.2)
-        y = nn.leaky_relu(nn.Conv(self.width, (3, 3), padding=PAD3)(y), 0.2)
-        return jnp.tanh(nn.Conv(3, (3, 3), padding=PAD3)(y))
+            y = nn.leaky_relu(
+                nn.Conv(self.width, (3, 3), padding=PAD3, name=nm)(y), 0.2)
+        y = nn.leaky_relu(
+            nn.Conv(self.width, (3, 3), padding=PAD3, name="conv_hr")(y), 0.2)
+        return nn.Conv(3, (3, 3), padding=PAD3, name="conv_last")(y)
 
 
 def diffusion_fill(img: jnp.ndarray, mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
@@ -122,10 +140,10 @@ class SuperResolutionInpaintor:
     """Inpaint at control size + SR back — `SuperResolutionInpaintors` (:29)."""
 
     def __init__(self, inpaint_params=None, sr_params=None, control_size: int = 256,
-                 trained: bool = False):
+                 trained: bool = False, sr_blocks: int = 23):
         self.control_size = control_size
         self.net = GatedInpaintor()
-        self.sr = RRDBNet()
+        self.sr = RRDBNet(n_blocks=sr_blocks)
         self.trained = trained or (inpaint_params is not None)
         s = control_size
         if inpaint_params is None:
@@ -156,7 +174,9 @@ class SuperResolutionInpaintor:
             out = diffusion_fill(img_c * (1 - mask_c), mask_c)
         if (H, W) != (s, s):
             if self.trained and max(H, W) >= 4 * s:
-                out = self._sr(self.sr_params, out)
+                # RRDBNet runs in the ESRGAN checkpoint's [0, 1] domain
+                out = self._sr(self.sr_params, (out + 1.0) * 0.5)
+                out = jnp.clip(out, 0.0, 1.0) * 2.0 - 1.0
             out = resize_image(out, H, W)
         return np.asarray(out[0])
 

@@ -483,6 +483,59 @@ def convert_mobilenet_openpose(sd: dict, like) -> tuple[dict, list[str]]:
     return _finish(tree, params), report
 
 
+_ESRGAN_RENAMES = {
+    # original-ESRGAN-repo layer names -> BasicSR/mmedit names
+    "RRDB_trunk": "body", "trunk_conv": "conv_body",
+    "upconv1": "conv_up1", "upconv2": "conv_up2", "HRconv": "conv_hr",
+}
+
+
+def convert_esrgan(sd: dict, like) -> tuple[dict, list[str]]:
+    """ESRGAN `esrgan_psnr_x4c64b23g32_*` checkpoint -> `tools.inpaintors.
+    RRDBNet` params (the reference's SR net, `mmedit_inpaintors.py:57-59`).
+
+    Accepts both published key families — BasicSR/mmedit
+    (`conv_first / body.{i}.rdb{j}.conv{k} / conv_body / conv_up1 / conv_up2 /
+    conv_hr / conv_last`, optionally under a `generator.` restorer-wrapper
+    prefix) and the original ESRGAN repo
+    (`RRDB_trunk.{i}.RDB{j}.conv{k}.0 / trunk_conv / upconv1 / ...`).
+    """
+    sd = _normalize_sd(sd)
+    renamed: dict = {}
+    for k, v in sd.items():
+        if k.startswith("generator."):
+            k = k[len("generator."):]
+        elif k.startswith("generator_ema."):
+            continue  # EMA copy: the plain generator weights are canonical
+        parts: list[str] = []
+        for p in k.split("."):
+            if p == "0" and parts and parts[-1].startswith("conv"):
+                continue  # original repo wraps each RDB conv in a Sequential
+            p = _ESRGAN_RENAMES.get(p, p)
+            if p.startswith("RDB"):
+                p = p.lower()
+            parts.append(p)
+        renamed[".".join(parts)] = v
+    sd = renamed
+
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    for nm in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+               "conv_hr", "conv_last"):
+        _put_conv(sd, params, nm, [nm], report)
+    i = 0
+    while f"body.{i}.rdb1.conv1.weight" in sd:
+        for j in (1, 2, 3):
+            for c in range(1, 6):
+                _put_conv(sd, params, f"body.{i}.rdb{j}.conv{c}",
+                          [f"body_{i}", f"rdb{j}", f"conv{c}"], report)
+        i += 1
+    have = len([k for k in params if k.startswith("body_")])
+    if i != have:
+        report.append(f"BLOCKS: params have {have}, checkpoint has {i}")
+    return _finish(tree, params), report
+
+
 def convert_discriminator(sd: dict, like) -> tuple[dict, list[str]]:
     """Reference discriminator checkpoint -> our discriminator params.
 
