@@ -80,20 +80,27 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         )
         return jnp.where(valid[..., None], out, 0.0)
 
-    def tap(iy, ix):
-        iy_c = jnp.clip(iy, 0, H - 1)
-        ix_c = jnp.clip(ix, 0, W - 1)
-        vals = jnp.take(img.reshape(H * W, C), iy_c * W + ix_c, axis=0)
-        ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        return jnp.where(ok[..., None], vals, 0.0)
+    # Wide-channel levels (C >= 128): stacking all four taps would make 4C-wide
+    # rows whose extra lane tiles erase the single-gather win, but stacking just
+    # the horizontal pair keeps rows at 2C and replaces four C-wide gathers with
+    # two 2C-wide ones — gather cost is dominated by per-index overhead, so this
+    # is ~2x cheaper. The x boundary is exact via a 1-px zero pad (x0 in
+    # [-1, W-1]); each row's y validity is masked per tap (torch zero padding).
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (0, 0)))
+    stacked = jnp.concatenate([imgp[:, :-1], imgp[:, 1:]], axis=-1)  # (H, W+1, 2C)
+    flat = stacked.reshape(H * (W + 1), 2 * C)
 
-    x1i, y1i = x0i + 1, y0i + 1
-    return (
-        tap(y0i, x0i) * w(wy0 * wx0)
-        + tap(y0i, x1i) * w(wy0 * wx1)
-        + tap(y1i, x0i) * w(wy1 * wx0)
-        + tap(y1i, x1i) * w(wy1 * wx1)
-    )
+    y1i = y0i + 1
+    bx = jnp.clip(x0i + 1, 0, W)
+    vx = (x0i >= -1) & (x0i <= W - 1)
+    rows = []
+    for yi in (y0i, y1i):
+        yc = jnp.clip(yi, 0, H - 1)
+        taps = jnp.take(flat, yc * (W + 1) + bx, axis=0)  # (..., 2C)
+        ok = vx & (yi >= 0) & (yi <= H - 1)
+        hx = taps[..., :C] * w(wx0) + taps[..., C:] * w(wx1)
+        rows.append(jnp.where(ok[..., None], hx, 0.0))
+    return rows[0] * w(wy0) + rows[1] * w(wy1)
 
 
 def grid_sample(imgs: jnp.ndarray, grids: jnp.ndarray) -> jnp.ndarray:
