@@ -55,7 +55,9 @@ def main():
         "SIDNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
         "TSFNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
     }
-    gen = build_generator("AttLWB-SPADE", cfg)
+    # feat_warp_stride=2: strided LWB feature warps (accuracy cost measured by
+    # scripts/evaluate/accuracy_cost.py, table in docs/BENCHMARKS.md)
+    gen = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=2)
 
     rng = np.random.RandomState(0)
     S = SIZE

@@ -38,6 +38,7 @@ from ipercore_tpu.models.networks.blocks import (
     instance_norm,
     warp,
 )
+from ipercore_tpu.ops.sampling import grid_sample, resize_flow, resize_image
 
 
 def _cfg_get(cfg, key: str, sub: str, default):
@@ -87,6 +88,12 @@ class LWBGenerator(nn.Module):
     fusion_mode: str = "spade"
     temporal: bool = False
     use_bg_net: bool = True
+    # TPU perf knob: warp LWB features on a stride-s grid and bilinearly
+    # upsample back (the per-index overhead of the warp gathers is the
+    # generator's largest cost at 512^2 — ~6.5 of 13.7 ms/frame measured).
+    # 1 = exact reference semantics; 2 halves each warp's gather count 4x.
+    # `scripts/evaluate/accuracy_cost.py` measures the quality cost.
+    feat_warp_stride: int = 1
 
     def setup(self):
         cfg = self.cfg
@@ -186,7 +193,15 @@ class LWBGenerator(nn.Module):
             bs, n = feats.shape[0], feats.shape[1]
             flat = feats.reshape((bs * n,) + feats.shape[2:])
             fl = flows.reshape((bs * n,) + flows.shape[2:])
-            out = warp(flat, fl)
+            h, w = flat.shape[1], flat.shape[2]
+            s = self.feat_warp_stride
+            if s > 1 and h % s == 0 and w % s == 0 and h // s >= 32:
+                # strided warp: sample on an (h/s, w/s) grid, upsample back —
+                # gather cost drops s^2-fold; exactness knob documented above
+                small = grid_sample(flat, resize_flow(fl, h // s, w // s))
+                out = resize_image(small, h, w).astype(flat.dtype)
+            else:
+                out = warp(flat, fl)
             return out.reshape((bs, n) + out.shape[1:])
 
         if self.fusion_mode != "none":
@@ -347,12 +362,14 @@ GENERATOR_REGISTRY = {
 }
 
 
-def build_generator(name: str, cfg, temporal: bool = False) -> nn.Module:
+def build_generator(name: str, cfg, temporal: bool = False,
+                    feat_warp_stride: int = 1) -> nn.Module:
     """NetworksFactory parity (`networks/__init__.py:3-67`)."""
     if name not in GENERATOR_REGISTRY:
         raise KeyError(f"unknown generator {name!r}; have {sorted(GENERATOR_REGISTRY)}")
     spec = dict(GENERATOR_REGISTRY[name])
     cls = spec.pop("cls")
     if cls is LWBGenerator:
-        return cls(cfg=cfg, temporal=temporal, **spec)
+        return cls(cfg=cfg, temporal=temporal,
+                   feat_warp_stride=feat_warp_stride, **spec)
     return cls(cfg=cfg)

@@ -100,23 +100,30 @@ def main(argv=None):
     cache = imit.setup_source(comp, gen, params, jnp.asarray(src_img),
                               jnp.asarray(src_smpl))
 
-    def run(compute_dtype, tst_stride):
+    # feat_warp_stride is a generator attribute (no new params: the stride-2
+    # module shares the stride-1 parameter tree)
+    gen_fw2 = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=2)
+
+    def run(compute_dtype, tst_stride, g=None):
+        g = g or gen
         fn = jax.jit(lambda smpl: imit.synthesize_frames(
-            comp, gen, params, cache, smpl,
+            comp, g, params, cache, smpl,
             compute_dtype=compute_dtype, tst_stride=tst_stride)[0])
         out = np.asarray(fn(jnp.asarray(tgt)), np.float32)
         return out
 
     configs = [
-        ("golden_f32_stride1", None, 1),
-        ("bf16_generator", jnp.bfloat16, 1),
-        ("tst_stride2", None, 2),
-        ("bench_bf16_stride2", jnp.bfloat16, 2),
+        ("golden_f32_stride1", None, 1, None),
+        ("bf16_generator", jnp.bfloat16, 1, None),
+        ("tst_stride2", None, 2, None),
+        ("feat_warp_stride2", None, 1, gen_fw2),
+        ("bench_bf16_stride2", jnp.bfloat16, 2, None),
+        ("bench_bf16_stride2_fw2", jnp.bfloat16, 2, gen_fw2),
     ]
     golden = None
     rows = []
-    for name, dtype, stride in configs:
-        out = run(dtype, stride)
+    for name, dtype, stride, g in configs:
+        out = run(dtype, stride, g)
         if golden is None:
             golden = out
             continue
