@@ -47,7 +47,10 @@ def build_runtime(opt, part_masks: Optional[list] = None):
         only_vis=bool(opt.get("only_vis", False)),
     )
     gen = build_generator(opt.get("gen_name", "AttLWB-SPADE"), opt.Generator,
-                          temporal=bool(opt.get("temporal", False)))
+                          temporal=bool(opt.get("temporal", False)),
+                          # TPU throughput knob (docs/BENCHMARKS.md): 2 =
+                          # strided LWB feature warps, ~1.24x fps at 512^2
+                          feat_warp_stride=int(opt.get("feat_warp_stride", 1)))
 
     S = int(opt.image_size)
     ns = int(opt.num_source)

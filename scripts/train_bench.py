@@ -84,9 +84,11 @@ def main():
         return T.train_step(st, b, comp, gen, dis, vgg, vgg_params,
                             face, face_params, cfg, ns=ns)
 
-    state, metrics = step(state, batch)
-    jax.block_until_ready(state.params_G)
-    float(metrics["loss_G"]) if "loss_G" in metrics else None  # force on axon
+    # two warmup steps: the first changes weak types on the state (step
+    # counter, schedules) and triggers one retrace — keep it out of the timing
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        _ = float(jax.tree_util.tree_leaves(metrics)[0])  # force on axon
 
     t0 = time.perf_counter()
     for _ in range(args.reps):
