@@ -482,13 +482,15 @@ def _bin_faces_csr(face_verts: jnp.ndarray, size: int, entries_per_face: int,
     if extra_cols is not None:
         params = jnp.concatenate([params, extra_cols], axis=-1)
     # minor dim padded to the (1, 128) HBM tiling so the kernel's dynamic
-    # DMA slices are lane-aligned (Mosaic requirement)
+    # DMA slices are lane-aligned (Mosaic requirement). Padding the small
+    # (F, W) table BEFORE the gather fuses the pad into the gather's output
+    # (saves a full read+write pass over the (ncap, 128) array).
     W = params.shape[1]
     w_pad = -W % 128
-    rows = jnp.take(params, fids, axis=0)  # (ncap, W)
+    rows = jnp.take(jnp.pad(params, ((0, 0), (0, w_pad))), fids, axis=0)
     # 2 chunks of tail padding: the kernel's unconditional double-buffer
     # prefetch reads up to one chunk past the last processed chunk
-    rows = jnp.pad(rows, ((0, 2 * chunk), (0, w_pad)))
+    rows = jnp.pad(rows, ((0, 2 * chunk), (0, 0)))
 
     stats = {"max_span": jnp.max(span), "total_entries": jnp.sum(span)}
     return rows, fids, seg, counts, stats
