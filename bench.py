@@ -17,7 +17,7 @@ import numpy as np
 
 V100_BASELINE_FPS = 4.0
 SIZE = 512
-FRAMES_PER_BATCH = 16
+FRAMES_PER_BATCH = 32
 WARMUP_BATCHES = 2
 BENCH_BATCHES = 5
 NS = 2
