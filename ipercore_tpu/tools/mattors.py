@@ -17,6 +17,7 @@ No disk round-trips (the reference writes temp pngs between the two models).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -26,6 +27,24 @@ import flax.linen as nn
 
 from ipercore_tpu.models.networks.blocks import PAD3
 from ipercore_tpu.ops.morphology import erode, dilate
+
+# Trained-on-device weights (scripts/train_person_seg.py) — auto-loaded when
+# present, upgrading the mattor from the geometry fallback to a real segmenter.
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "person_seg.npz")
+
+
+def load_default_weights(path: str = None):
+    """Load {"seg": ..., "mat": ...} trained params (f16 on disk -> f32)."""
+    path = path or DEFAULT_WEIGHTS
+    if not os.path.exists(path):
+        return None
+    from ipercore_tpu.utils.checkpoint import load_params
+
+    tree = load_params(path)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), tree)
 
 
 class ConvBlock(nn.Module):
@@ -96,10 +115,15 @@ class HumanMattor:
     """
 
     def __init__(self, seg_params=None, mat_params=None, image_size: int = 512,
-                 trained: bool = False):
+                 trained: bool = False, weights_path: str = None):
         self.seg = PersonSegUNet()
         self.mat = MattingRefiner()
         self.image_size = image_size
+        if seg_params is None and mat_params is None:
+            pretrained = load_default_weights(weights_path)
+            if pretrained is not None:
+                seg_params = pretrained["seg"]
+                mat_params = pretrained["mat"]
         self.trained = trained or (seg_params is not None)
         s = image_size
         if seg_params is None:
@@ -120,8 +144,19 @@ class HumanMattor:
         """
         x = jnp.asarray(images)
         if self.trained:
-            mask = nn.sigmoid(self._seg(self.seg_params, x))
-            mask = (mask > 0.5).astype(jnp.float32)
+            p = nn.sigmoid(self._seg(self.seg_params, x))
+            mask = (p > 0.5).astype(jnp.float32)
+            if fallback_mask is not None:
+                # Constrain the segmenter to a band around the SMPL
+                # silhouette: inside the eroded silhouette is certainly
+                # person, far outside the dilated one certainly background,
+                # and the segmenter resolves the uncertain band (clothing,
+                # hair). Robust to both failure modes — a drifting segmenter
+                # and an SMPL fit that misses loose apparel.
+                sil = jnp.asarray(fallback_mask)
+                fg = erode(sil, 11)
+                band = dilate(sil, 31) - fg
+                mask = jnp.clip(fg + band * mask, 0.0, 1.0)
         elif fallback_mask is not None:
             mask = jnp.asarray(fallback_mask)
         else:

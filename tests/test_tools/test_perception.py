@@ -152,13 +152,54 @@ def test_trimap_bands():
 def test_mattor_fallback_runs():
     from ipercore_tpu.tools.mattors import HumanMattor
 
-    m = HumanMattor(image_size=64)
+    # weights_path pins the geometry-fallback path even when the trained
+    # checkpoint (assets/person_seg.npz) is present
+    m = HumanMattor(image_size=64, weights_path="/nonexistent")
+    assert not m.trained
     imgs = np.zeros((1, 64, 64, 3), np.float32)
     sil = np.zeros((1, 64, 64, 1), np.float32)
     sil[0, 16:48, 16:48] = 1.0
     alpha, mask = m.run(imgs, fallback_mask=sil)
     assert alpha.shape == (1, 64, 64, 1)
     assert alpha.max() == 1.0 and alpha.min() == 0.0  # fg core + far bg survive the band
+
+
+def test_mattor_trained_weights_band_combination():
+    """With the on-device-trained checkpoint (scripts/train_person_seg.py),
+    the mattor segments a rendered scene; the silhouette band constrains the
+    result so out-of-domain drift cannot escape the person neighbourhood."""
+    import os
+
+    import pytest
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.ops import rasterizer as rz
+    from ipercore_tpu.tools.mattors import DEFAULT_WEIGHTS, HumanMattor
+
+    if not os.path.exists(DEFAULT_WEIGHTS):
+        pytest.skip("trained person_seg checkpoint absent")
+
+    S = 128
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    theta = np.zeros((1, 85), np.float32)
+    theta[:, 0] = 1.1
+    d = smpl_mod.get_details(model, jnp.asarray(theta))
+    proj = rz.project_verts(d["verts"], d["cam"])
+    fv = rz.verts_to_faces(proj, model.faces)
+    fim = jax.vmap(lambda f: rz.rasterize(f, S).fim)(fv)
+    gt = np.asarray((fim >= 0), np.float32)[..., None]
+    cond = np.asarray(rz.encode_fim(fim, assets.map_fn))
+    tex = np.tanh(cond * 2.0 - 0.5)
+    img = tex * gt + (-0.3) * (1.0 - gt)
+
+    m = HumanMattor(image_size=S)
+    assert m.trained
+    alpha, mask = m.run(img, fallback_mask=gt)
+    inter = (mask[..., 0] * gt[..., 0]).sum()
+    union = np.maximum(mask[..., 0], gt[..., 0]).sum()
+    assert inter / union > 0.8
 
 
 def test_inpaintor_fallback_fills():
