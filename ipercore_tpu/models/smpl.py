@@ -440,10 +440,27 @@ def lbs(
         # (90 dims for J=52) — `batch_smplh.py:280-301`.
         pose = jnp.concatenate([pose[..., :66], model.hands_mean], axis=-1)
 
+    rot = rodrigues(pose.reshape(J, 3))  # (J, 3, 3)
+    return lbs_from_rot(model, shape, rot, offsets, links_ids)
+
+
+def lbs_from_rot(
+    model: SMPLModel,
+    shape: jnp.ndarray,
+    rot: jnp.ndarray,
+    offsets: jnp.ndarray | float = 0.0,
+    links_ids: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`lbs` with per-joint rotation matrices (J, 3, 3) already computed.
+
+    The rotation-matrix entry point exists for training paths that predict
+    rotations directly (the SPIN regressor's rot6d output): the axis-angle
+    round-trip `rotmat_to_axis_angle` is singular at theta -> 0/pi and its
+    gradient NaNs as predictions sharpen; differentiating through rotmats
+    avoids the singularity entirely.
+    """
     v_shaped = model.v_template + jnp.einsum("vds,s->vd", model.shapedirs, shape)
     joints = model.j_regressor @ v_shaped  # (J, 3)
-
-    rot = rodrigues(pose.reshape(J, 3))  # (J, 3, 3)
     eye = jnp.eye(3, dtype=rot.dtype)
     pose_feature = (rot[1:] - eye).reshape(-1)  # (9*(J-1),)
     v_posed = v_shaped + jnp.einsum("vdp,p->vd", model.posedirs, pose_feature)

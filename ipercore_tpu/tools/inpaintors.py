@@ -10,6 +10,7 @@ supervision signal, `lwg_trainer.py:609-620`).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -19,6 +20,12 @@ import flax.linen as nn
 
 from ipercore_tpu.models.networks.blocks import PAD3
 from ipercore_tpu.ops.sampling import resize_image
+
+# Trained-on-device weights (scripts/train_inpaintor.py) — auto-loaded when
+# present, upgrading inpainting from the diffusion fallback to the gated net.
+INPAINT_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "inpaintor.npz")
 
 
 class GatedConv(nn.Module):
@@ -140,10 +147,19 @@ class SuperResolutionInpaintor:
     """Inpaint at control size + SR back — `SuperResolutionInpaintors` (:29)."""
 
     def __init__(self, inpaint_params=None, sr_params=None, control_size: int = 256,
-                 trained: bool = False, sr_blocks: int = 23):
+                 trained: bool = False, sr_blocks: int = 23,
+                 weights_path: str = None):
         self.control_size = control_size
         self.net = GatedInpaintor()
         self.sr = RRDBNet(n_blocks=sr_blocks)
+        if inpaint_params is None:
+            path = weights_path or INPAINT_DEFAULT_WEIGHTS
+            if os.path.exists(path):
+                from ipercore_tpu.utils.checkpoint import load_params
+
+                tree = load_params(path)
+                inpaint_params = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(np.asarray(x), jnp.float32), tree)
         self.trained = trained or (inpaint_params is not None)
         s = control_size
         if inpaint_params is None:

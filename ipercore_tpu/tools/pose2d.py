@@ -16,6 +16,7 @@ Two decode paths:
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -111,20 +112,33 @@ class OpenPoseBody25(nn.Module):
     key-for-key (`torch_convert.convert_openpose`)."""
 
     @nn.compact
-    def __call__(self, x):
-        """x: (N, H, W, 3) in [-0.5, 0.5]. Returns (pafs, heatmaps) at H/8."""
+    def __call__(self, x, return_stages: bool = False):
+        """x: (N, H, W, 3) in [-0.5, 0.5]. Returns (pafs, heatmaps) at H/8.
+
+        `return_stages=True` additionally returns every stage's output
+        (4 PAF + 2 heatmap tensors) for deep supervision during training —
+        the reference trains with per-stage losses (standard CMU recipe)."""
         feat = OpenPoseStem(name="model0")(x)
+        pafs, hms = [], []
         paf = StackMConv(0, 2, 96, N_BODY25_PAFS, name="block02")(feat)
+        pafs.append(paf)
         paf = StackMConv(1, 2, 128, N_BODY25_PAFS, name="block12")(
             jnp.concatenate([feat, paf], axis=-1))
+        pafs.append(paf)
         paf = StackMConv(2, 2, 128, N_BODY25_PAFS, name="block22")(
             jnp.concatenate([feat, paf], axis=-1))
+        pafs.append(paf)
         paf = StackMConv(3, 2, 128, N_BODY25_PAFS, name="block32")(
             jnp.concatenate([feat, paf], axis=-1))
+        pafs.append(paf)
         hm = StackMConv(0, 1, 96, N_BODY25_JOINTS + 1, name="block01")(
             jnp.concatenate([feat, paf], axis=-1))
+        hms.append(hm)
         hm = StackMConv(1, 1, 128, N_BODY25_JOINTS + 1, name="block11")(
             jnp.concatenate([feat, paf, hm], axis=-1))
+        hms.append(hm)
+        if return_stages:
+            return paf, hm, pafs, hms
         return paf, hm
 
 
@@ -152,15 +166,32 @@ def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
     return kps, scores, valid
 
 
-class OpenPoseRunner:
-    """Batched jitted runner — role of `OpenPoseRunner` (`runner.py:71-206`)."""
+OPENPOSE_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "openpose.npz")
 
-    def __init__(self, params=None, input_size: int = 368):
+
+class OpenPoseRunner:
+    """Batched jitted runner — role of `OpenPoseRunner` (`runner.py:71-206`).
+
+    Without explicit params, weights trained on procedural SMPL renders
+    (scripts/train_openpose.py) auto-load from `assets/openpose.npz` when
+    present; converted torch checkpoints can be supplied as `params`."""
+
+    def __init__(self, params=None, input_size: int = 368,
+                 weights_path: str = None):
         self.net = OpenPoseBody25()
         self.input_size = input_size
+        self.trained = params is not None
         if params is None:
             params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, input_size, input_size, 3)))
+            path = weights_path or OPENPOSE_DEFAULT_WEIGHTS
+            if os.path.exists(path):
+                from ipercore_tpu.utils.checkpoint import load_params
+
+                params = load_params(path, like=params)
+                self.trained = True
         self.params = params
         self._apply = jax.jit(self.net.apply)
 

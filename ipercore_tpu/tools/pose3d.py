@@ -12,6 +12,7 @@ Rebuilds `iPERCore/tools/human_pose3d_estimators/`:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -124,14 +125,31 @@ def spin_output_to_theta(pose6d: jnp.ndarray, shape: jnp.ndarray, cam: jnp.ndarr
     return jnp.concatenate([cam, aa, shape], axis=-1)
 
 
-class SPINRunner:
-    """Batched jitted SPIN inference — `spin/runner.py:109-288`."""
+SPIN_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "spin.npz")
 
-    def __init__(self, params=None):
+
+class SPINRunner:
+    """Batched jitted SPIN inference — `spin/runner.py:109-288`.
+
+    Without explicit params, weights trained on procedural SMPL renders
+    (scripts/train_spin.py) auto-load from `assets/spin.npz` when present;
+    otherwise the net runs at random init (converted torch checkpoints can
+    be supplied directly as `params`)."""
+
+    def __init__(self, params=None, weights_path: str = None):
         self.net = SPINNet()
+        self.trained = params is not None
         if params is None:
             params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, HMR_IMG_SIZE, HMR_IMG_SIZE, 3)))
+            path = weights_path or SPIN_DEFAULT_WEIGHTS
+            if os.path.exists(path):
+                from ipercore_tpu.utils.checkpoint import load_params
+
+                params = load_params(path, like=params)
+                self.trained = True
         self.params = params
 
         @jax.jit

@@ -1,0 +1,238 @@
+"""Procedural supervision scenes for training the perception stack on-device.
+
+The reference ships downloaded checkpoints for its perception models (SPIN,
+OpenPose, PointRend/GCA, deepfillv2 — `assets/download.sh`); this environment
+has no network, so those nets would otherwise run untrained behind geometry
+fallbacks. This module synthesizes *labeled* scenes entirely on the TPU:
+random SMPL pose/shape/camera rendered through the production rasterizer
+gives exact silhouettes, part maps and projected joints; textures are random
+color transforms of the SMPL part-condition map (distinct colors per body
+part — clothing-like limb cues); backgrounds are procedural (gradients /
+checkers / noise). Every label is exact by construction:
+
+  * soft alpha + binary mask        -> person segmenter / matting refiner
+  * theta (cam, pose, shape) + j2d  -> SPIN regressor
+  * Body-25 joints + limb PAFs      -> OpenPose
+  * clean background + random holes -> background inpaintor
+
+Used by `scripts/train_person_seg.py`, `scripts/train_spin.py`,
+`scripts/train_openpose.py`, `scripts/train_inpaintor.py`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipercore_tpu.models import smpl as smpl_mod
+from ipercore_tpu.ops import rasterizer as rz
+from ipercore_tpu.ops.rotations import rodrigues, rotmat_to_axis_angle
+
+
+class SceneBatch(NamedTuple):
+    """One batch of labeled synthetic scenes (image units: [-1, 1])."""
+
+    img: jnp.ndarray     # (B, S, S, 3) composited scene
+    alpha: jnp.ndarray   # (B, S, S, 1) soft person alpha (supersampled render)
+    mask: jnp.ndarray    # (B, S, S, 1) binary person mask (alpha > .5)
+    bg: jnp.ndarray      # (B, S, S, 3) the clean background plate
+    theta: jnp.ndarray   # (B, 85) cam(3) + pose_aa(72) + shape(10)
+    j2d: jnp.ndarray     # (B, 19, 2) cocoplus joints, NDC (x right, y down)
+
+
+def make_theta(key, batch: int, pose_std: float = 0.25, yaw: bool = True,
+               scale_range=(0.55, 1.6), tx_range=0.5) -> jnp.ndarray:
+    """Random plausible SMPL thetas.
+
+    Global orientation is a full random yaw (so front/back/side views all
+    occur — find-front and pose estimation need the full ring) composed with
+    the canonical upright flip and a small random tilt.
+    """
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    scale = jax.random.uniform(k1, (batch, 1), minval=scale_range[0],
+                               maxval=scale_range[1])
+    txy = jax.random.uniform(k2, (batch, 2), minval=-tx_range, maxval=tx_range)
+    pose = jax.random.normal(k3, (batch, 72)) * pose_std
+    beta = jax.random.normal(k4, (batch, 10))
+    if yaw:
+        # theta == 0 renders upright facing the camera in this repo's
+        # convention (screen y down); compose a full random yaw about the
+        # body's vertical axis with a small random tilt
+        ang = jax.random.uniform(k5, (batch,), minval=-np.pi, maxval=np.pi)
+        tilt = jax.random.normal(k6, (batch, 3)) * 0.1
+        spin = rodrigues(jnp.stack([jnp.zeros_like(ang), ang,
+                                    jnp.zeros_like(ang)], axis=-1))
+        wobble = rodrigues(tilt)
+        orient = rotmat_to_axis_angle(jnp.einsum("bij,bjk->bik", wobble, spin))
+        pose = pose.at[:, 0:3].set(orient)
+    theta = jnp.concatenate([scale, txy, pose, beta], axis=-1)
+    return theta
+
+
+def render_fim(model, theta: jnp.ndarray, size: int,
+               f2uvs: jnp.ndarray | None = None,
+               details: dict | None = None) -> jnp.ndarray:
+    """Rasterize thetas to a face-index map with the production kernels.
+
+    Returns fim (B, size, size) int32 (-1 background).
+    """
+    if details is None:
+        details = smpl_mod.get_details(model, theta)
+    proj = rz.project_verts(details["verts"], details["cam"])
+    fv = rz.verts_to_faces(proj, model.faces)
+    if rz._use_pallas(size):
+        from ipercore_tpu.ops.rasterizer_pallas import rasterize_flows_pallas_csr
+
+        aux = (f2uvs if f2uvs is not None
+               else jnp.zeros((model.faces.shape[0], 3, 2), jnp.float32))
+        fim, _ = rasterize_flows_pallas_csr(fv, aux[None], size)
+    else:
+        fim = jax.vmap(lambda f: rz.rasterize(f, size).fim)(fv)
+    return fim
+
+
+def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x average pool over (B, H, W, C)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+
+
+def synth_background(key, batch: int, size: int) -> jnp.ndarray:
+    """Procedural background plates: gradient + checker + noise mix."""
+    k = jax.random.split(key, 8)
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, size), jnp.linspace(-1, 1, size),
+                          indexing="ij")
+    ang = jax.random.uniform(k[0], (batch, 1, 1), minval=0, maxval=np.pi)
+    g = (jnp.cos(ang) * xx[None] + jnp.sin(ang) * yy[None])[..., None]
+    ca = jax.random.uniform(k[1], (batch, 1, 1, 3), minval=-1, maxval=1)
+    cb = jax.random.uniform(k[2], (batch, 1, 1, 3), minval=-1, maxval=1)
+    grad = ca + (cb - ca) * (g * 0.5 + 0.5)
+    fx = jax.random.uniform(k[3], (batch, 1, 1), minval=2, maxval=14)
+    fy = jax.random.uniform(k[4], (batch, 1, 1), minval=2, maxval=14)
+    check = jnp.sign(jnp.sin(xx[None] * fx * np.pi)
+                     * jnp.sin(yy[None] * fy * np.pi))[..., None]
+    check = check * jax.random.uniform(k[5], (batch, 1, 1, 3),
+                                       minval=-0.8, maxval=0.8)
+    noise = jax.random.uniform(k[6], (batch, size, size, 3), minval=-1, maxval=1)
+    w = jax.random.dirichlet(k[7], jnp.ones(3), (batch,))[:, None, None, :]
+    bg = w[..., 0:1] * grad + w[..., 1:2] * check + w[..., 2:3] * noise
+    return jnp.clip(bg, -1, 1)
+
+
+def compose_scene(key, model, assets, batch: int, size: int,
+                  pose_std: float = 0.25, yaw: bool = True,
+                  noise: float = 0.05) -> SceneBatch:
+    """Full labeled scene batch at `size`, rendered supersampled 2x."""
+    ka, kb, kc, kd, ke = jax.random.split(key, 5)
+    theta = make_theta(ka, batch, pose_std=pose_std, yaw=yaw)
+    details = smpl_mod.get_details(model, theta)
+    fim = render_fim(model, theta, size * 2, f2uvs=assets.f2uvs, details=details)
+    hard_hi = (fim >= 0).astype(jnp.float32)[..., None]
+    alpha = _downsample2(hard_hi)
+    cond = _downsample2(rz.encode_fim(fim, assets.map_fn))
+    bg = synth_background(kb, batch, size)
+    M = jax.random.uniform(kc, (batch, 3, 3), minval=-1, maxval=1)
+    tex = jnp.einsum("bhwc,bcd->bhwd", cond, M)
+    tex = jnp.tanh(tex + 0.15 * jax.random.normal(kd, tex.shape))
+    img = tex * alpha + bg * (1.0 - alpha)
+    img = jnp.clip(img + noise * jax.random.normal(ke, img.shape), -1, 1)
+    j2d = details["j2d"]
+    return SceneBatch(img=img, alpha=alpha,
+                      mask=(alpha > 0.5).astype(jnp.float32),
+                      bg=bg, theta=theta, j2d=j2d)
+
+
+def random_holes(key, batch: int, size: int, max_holes: int = 4) -> jnp.ndarray:
+    """Random rectangular + elliptical hole masks (1 = hole), (B, S, S, 1).
+
+    The production inpainting hole is a dilated person mask; rectangles +
+    ellipses of person-like aspect cover that support compactly.
+    """
+    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, size), jnp.linspace(0, 1, size),
+                          indexing="ij")
+    ks = jax.random.split(key, max_holes)
+
+    def one_hole(k):
+        kc, kw, ke = jax.random.split(k, 3)
+        c = jax.random.uniform(kc, (batch, 2, 1, 1), minval=0.1, maxval=0.9)
+        wh = jax.random.uniform(kw, (batch, 2, 1, 1), minval=0.05, maxval=0.35)
+        is_ellipse = jax.random.bernoulli(ke, 0.5, (batch, 1, 1))
+        dx = jnp.abs(xx[None] - c[:, 0]) / wh[:, 0]
+        dy = jnp.abs(yy[None] - c[:, 1]) / wh[:, 1]
+        rect = (jnp.maximum(dx, dy) < 1.0)
+        ell = (dx ** 2 + dy ** 2 < 1.0)
+        return jnp.where(is_ellipse, ell, rect)
+
+    holes = jnp.zeros((batch, size, size), bool)
+    for k in ks:
+        holes = holes | one_hole(k)
+    return holes.astype(jnp.float32)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# OpenPose targets: Body-25 joints + PAFs from SMPL
+# ---------------------------------------------------------------------------
+
+def body25_from_cocoplus(j2d_coco: jnp.ndarray):
+    """cocoplus-19 NDC joints -> (Body-25 joints (B, 25, 2), valid (25,) np).
+
+    Inverse of `pose2d.BODY25_TO_COCOPLUS19`; the six unmapped Body-25
+    channels (toes/heels, 19-24) are marked invalid and carry zero loss
+    weight — the production decode path only consumes the mapped nineteen.
+    `valid` stays a host numpy array so target-construction control flow can
+    branch on it under jit.
+    """
+    from ipercore_tpu.tools.pose2d import BODY25_TO_COCOPLUS19
+
+    B = j2d_coco.shape[0]
+    out = jnp.zeros((B, 25, 2), j2d_coco.dtype)
+    valid = np.zeros((25,), np.float32)
+    m = np.asarray(BODY25_TO_COCOPLUS19)
+    out = out.at[:, m, :].set(j2d_coco)
+    valid[m] = 1.0
+    return out, valid
+
+
+def make_pose2d_targets(j2d_coco: jnp.ndarray, hm_size: int,
+                        sigma: float = 1.5):
+    """Gaussian heatmaps + limb PAFs at `hm_size` from cocoplus joints.
+
+    Returns (heatmaps (B, h, h, 26), pafs (B, h, h, 52), hm_weight (26,),
+    paf_weight (52,)) matching `OpenPoseBody25` channel conventions
+    (channel 25 = background).
+    """
+    from ipercore_tpu.tools.pose2d_decode import BODY25_LIMBS, BODY25_PAF_IDS
+
+    b25, valid = body25_from_cocoplus(j2d_coco)  # NDC
+    px = (b25 + 1.0) * 0.5 * hm_size - 0.5      # heatmap pixel coords
+    B = px.shape[0]
+    yy, xx = jnp.meshgrid(jnp.arange(hm_size, dtype=jnp.float32),
+                          jnp.arange(hm_size, dtype=jnp.float32), indexing="ij")
+    d2 = ((xx[None, None] - px[:, :, 0, None, None]) ** 2
+          + (yy[None, None] - px[:, :, 1, None, None]) ** 2)  # (B, 25, h, h)
+    hm = jnp.exp(-d2 / (2 * sigma ** 2)) * valid[None, :, None, None]
+    bgc = jnp.clip(1.0 - hm.max(axis=1, keepdims=True), 0.0, 1.0)
+    heatmaps = jnp.moveaxis(jnp.concatenate([hm, bgc], axis=1), 1, -1)
+    hm_weight = np.concatenate([valid, np.ones((1,), np.float32)])
+
+    pafs = jnp.zeros((B, 52, hm_size, hm_size))
+    paf_weight = np.zeros((52,), np.float32)
+    for (ja, jb), (cx, cy) in zip(BODY25_LIMBS, BODY25_PAF_IDS):
+        if not (float(valid[ja]) and float(valid[jb])):
+            continue
+        a, bpt = px[:, ja], px[:, jb]  # (B, 2)
+        ab = bpt - a
+        norm = jnp.maximum(jnp.linalg.norm(ab, axis=-1, keepdims=True), 1e-5)
+        u = ab / norm  # (B, 2)
+        rel_x = xx[None] - a[:, 0, None, None]
+        rel_y = yy[None] - a[:, 1, None, None]
+        along = rel_x * u[:, 0, None, None] + rel_y * u[:, 1, None, None]
+        across = jnp.abs(rel_x * u[:, 1, None, None] - rel_y * u[:, 0, None, None])
+        on_limb = ((along >= -1.0) & (along <= norm[:, :, None] + 1.0)
+                   & (across <= 1.5)).astype(jnp.float32)
+        pafs = pafs.at[:, cx].set(on_limb * u[:, 0, None, None])
+        pafs = pafs.at[:, cy].set(on_limb * u[:, 1, None, None])
+        paf_weight[cx] = paf_weight[cy] = 1.0
+    return heatmaps, jnp.moveaxis(pafs, 1, -1), hm_weight, paf_weight

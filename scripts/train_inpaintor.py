@@ -1,0 +1,135 @@
+"""Train the gated-conv background inpaintor on procedural scenes.
+
+The reference downloads the mmedit deepfillv2 Places2 checkpoint
+(`assets/download.sh`); this environment has no network, so the gated-conv
+net ran untrained behind a diffusion fallback. This script trains it on
+procedural background plates (`tools/synth_data.synth_background`) with
+random person-shaped holes (`random_holes` + rendered SMPL silhouettes —
+the production hole IS a dilated person mask): L1 reconstruction inside the
+hole plus a small total-variation smoothness term.
+
+Weights land in `assets/inpaintor.npz` (f16) and auto-load in
+`tools.inpaintors.SuperResolutionInpaintor`, upgrading preprocessing stage
+1.6 from diffusion fill to a trained inpaintor. Domain: procedural plates —
+not photographs; see docs/PARITY.md.
+
+Usage: python scripts/train_inpaintor.py [--steps 2000] [--batch 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--size", type=int, default=256, help="control size")
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "inpaintor.npz"))
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache_dir = os.path.join(REPO, ".cache", "jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.ops.morphology import dilate
+    from ipercore_tpu.tools import synth_data as sd
+    from ipercore_tpu.tools.inpaintors import GatedInpaintor
+    from ipercore_tpu.utils.checkpoint import load_params, save_params
+
+    if args.smoke:
+        args.steps, args.batch, args.size = 4, 2, 64
+        model = smpl_mod.synthetic_model(nu=16, nv=14)
+        assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    else:
+        model = smpl_mod.template_model()
+        assets = load_assets(model)
+    B, S = args.batch, args.size
+
+    def make_batch(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        bg = sd.synth_background(k1, B, S)
+        # half the holes are dilated SMPL silhouettes (the production hole),
+        # half random rectangles/ellipses (generalization)
+        theta = sd.make_theta(k2, B)
+        fim = sd.render_fim(model, theta, S, f2uvs=assets.f2uvs)
+        sil = dilate((fim >= 0).astype(jnp.float32)[..., None], 15)
+        rand = sd.random_holes(k3, B, S)
+        use_sil = jax.random.bernoulli(k4, 0.5, (B, 1, 1, 1))
+        hole = jnp.where(use_sil, sil, rand)
+        return bg, hole
+
+    net = GatedInpaintor()
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 4)))
+    if args.resume and os.path.exists(args.out):
+        params = load_params(args.out, like=params)
+        print(f"resumed from {args.out}", flush=True)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, bg, hole):
+        x = jnp.concatenate([bg * (1 - hole), hole], axis=-1)
+        out = net.apply(params, x)
+        l1_hole = jnp.sum(jnp.abs(out - bg) * hole) / jnp.maximum(hole.sum() * 3, 1.0)
+        l1_keep = jnp.mean(jnp.abs(out - bg) * (1 - hole))
+        tv = (jnp.mean(jnp.abs(out[:, 1:] - out[:, :-1]))
+              + jnp.mean(jnp.abs(out[:, :, 1:] - out[:, :, :-1])))
+        return l1_hole + 0.5 * l1_keep + 0.1 * tv, {
+            "l1_hole": l1_hole, "l1_keep": l1_keep}
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        bg, hole = make_batch(key)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bg, hole)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    key = jax.random.PRNGKey(55)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = train_step(params, opt_state, sub)
+        if step % max(args.steps // 10, 1) == 0 or step == args.steps - 1:
+            print(json.dumps({"step": step, "loss": round(float(loss), 4),
+                              **{k: round(float(v), 4) for k, v in aux.items()}}),
+                  flush=True)
+
+    bg, hole = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    _, aux = loss_fn(params, bg, hole)
+    result = {"metric": "inpaintor_synthetic_holdout",
+              "hole_l1": round(float(aux["l1_hole"]), 4),
+              "steps": args.steps,
+              "train_s": round(time.perf_counter() - t0, 1)}
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    f16 = jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+        else np.asarray(v), params)
+    save_params(args.out, f16)
+    result["out"] = args.out
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Train the Body-25 OpenPose net on procedural SMPL renders.
+
+The reference downloads the CMU body25 checkpoint (`assets/download.sh`);
+this environment has no network, so the checkpoint-exact `OpenPoseBody25`
+ran untrained. This script trains it on labeled scenes synthesized on-device
+(`tools/synth_data.py`): rendered SMPL joints give exact Body-25 heatmap +
+PAF targets (`make_pose2d_targets`) for the nineteen joints the production
+decode consumes (the six toe/heel channels the SMPL cocoplus regressor
+cannot produce carry zero loss weight). Deep supervision over all six
+refinement stages — the standard CMU recipe the reference checkpoint was
+trained with.
+
+Weights land in `assets/openpose.npz` (f16) and auto-load in
+`tools.pose2d.OpenPoseRunner`, making SMPLify refinement (preprocessing
+stage 1.3) run against real keypoints. Domain: rendered humans over
+procedural backgrounds — not photographs; see docs/PARITY.md.
+
+Usage: python scripts/train_openpose.py [--steps 3000] [--batch 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--scene_size", type=int, default=256)
+    ap.add_argument("--input_size", type=int, default=224,
+                    help="net input (preprocessing feeds 224 crops)")
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "openpose.npz"))
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache_dir = os.path.join(REPO, ".cache", "jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.tools import synth_data as sd
+    from ipercore_tpu.tools.pose2d import OpenPoseBody25, decode_single_person
+    from ipercore_tpu.utils.checkpoint import load_params, save_params
+
+    if args.smoke:
+        args.steps, args.batch = 4, 2
+        args.scene_size, args.input_size = 64, 64
+        model = smpl_mod.synthetic_model(nu=16, nv=14)
+        assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    else:
+        model = smpl_mod.template_model()
+        assets = load_assets(model)
+    B, S, IN = args.batch, args.scene_size, args.input_size
+    HM = IN // 8
+
+    def make_batch(key):
+        sb = sd.compose_scene(key, model, assets, batch=B, size=S)
+        x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear") * 0.5  # runner scaling
+        hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets(sb.j2d, HM)
+        return x, hm_t, paf_t, hm_w, paf_w, sb.j2d
+
+    net = OpenPoseBody25()
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), jnp.zeros((1, IN, IN, 3)))
+    if args.resume and os.path.exists(args.out):
+        params = load_params(args.out, like=params)
+        print(f"resumed from {args.out}", flush=True)
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x, hm_t, paf_t, hm_w, paf_w):
+        _, _, pafs, hms = net.apply(params, x, return_stages=True)
+        l_paf = sum(jnp.mean(((p - paf_t) ** 2) * paf_w) for p in pafs) / len(pafs)
+        l_hm = sum(jnp.mean(((h - hm_t) ** 2) * hm_w) for h in hms) / len(hms)
+        return l_paf + l_hm, {"paf": l_paf, "hm": l_hm}
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        x, hm_t, paf_t, hm_w, paf_w, _ = make_batch(key)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, hm_t, paf_t, hm_w, paf_w)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    key = jax.random.PRNGKey(321)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = train_step(params, opt_state, sub)
+        if step % max(args.steps // 20, 1) == 0 or step == args.steps - 1:
+            print(json.dumps({"step": step, "loss": round(float(loss), 5),
+                              **{k: round(float(v), 5) for k, v in aux.items()}}),
+                  flush=True)
+
+    # holdout: argmax decode px error over the supervised joints
+    x, hm_t, paf_t, hm_w, paf_w, j2d = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    _, hm = jax.jit(lambda p, x: net.apply(p, x))(params, x)
+    kps, scores, valid = decode_single_person(hm)
+    b25_gt, valid25 = sd.body25_from_cocoplus(j2d)
+    err = jnp.linalg.norm(jnp.asarray(kps) - b25_gt, axis=-1) * (IN / 2)
+    m = valid25[None, :] * np.ones((B, 1))
+    px = float((err * m).sum() / m.sum())
+    result = {"metric": "openpose_synthetic_holdout",
+              "decode_px_err": round(px, 2), "steps": args.steps,
+              "train_s": round(time.perf_counter() - t0, 1)}
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    f16 = jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+        else np.asarray(v), params)
+    save_params(args.out, f16)
+    result["out"] = args.out
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

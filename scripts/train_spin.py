@@ -1,0 +1,162 @@
+"""Train the SPIN pose regressor on procedural SMPL renders.
+
+The reference downloads the pretrained SPIN checkpoint
+(`spin_ckpt.pth`, `assets/download.sh`); this environment has no network, so
+the BatchNorm-exact `SPINNet` ran untrained. This script trains it for real
+on labeled scenes synthesized on-device (`tools/synth_data.py`): every render
+carries exact theta = (cam, pose, shape) and projected joints, so the loss is
+direct parameter supervision plus joint reprojection:
+
+  L = |R_pred - R_gt|^2 (24 rotmats)  +  w_beta |beta|^2 err
+      + w_cam |cam|^2 err  +  w_j2d |j2d|^2 err (through the full LBS)
+
+BatchNorm statistics stay frozen at identity (the layout is the torch
+checkpoint conversion target — `spin/network.py:30-90`); their updates are
+masked out so `var` cannot go negative. Weights land in `assets/spin.npz`
+(f16) and auto-load in `tools.pose3d.SPINRunner`, upgrading preprocessing
+stage 1.3 from random filters to a trained regressor. Domain: rendered
+humans over procedural backgrounds — not photographs; see docs/PARITY.md.
+
+Usage: python scripts/train_spin.py [--steps 4000] [--batch 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--scene_size", type=int, default=256)
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "spin.npz"))
+    ap.add_argument("--resume", action="store_true",
+                    help="initialize from an existing --out checkpoint")
+    ap.add_argument("--smoke", action="store_true", help="tiny run (CI)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache_dir = os.path.join(REPO, ".cache", "jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.models.mesh import load_assets
+    from ipercore_tpu.ops.rotations import rodrigues
+    from ipercore_tpu.tools import synth_data as sd
+    from ipercore_tpu.tools.pose3d import HMR_IMG_SIZE, SPINNet
+    from ipercore_tpu.utils.checkpoint import load_params, save_params
+
+    if args.smoke:
+        args.steps, args.batch, args.scene_size = 8, 2, 64
+        model = smpl_mod.synthetic_model(nu=16, nv=14)
+        assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    else:
+        model = smpl_mod.template_model()
+        assets = load_assets(model)
+    B, S = args.batch, args.scene_size
+
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+
+    def make_batch(key):
+        sb = sd.compose_scene(key, model, assets, batch=B, size=S)
+        x = jax.image.resize(sb.img, (B, HMR_IMG_SIZE, HMR_IMG_SIZE, 3), "linear")
+        x = ((x + 1.0) * 0.5 - mean) / std  # SPINRunner.run preprocessing
+        return x, sb.theta, sb.j2d
+
+    net = SPINNet()
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, HMR_IMG_SIZE, HMR_IMG_SIZE, 3)))
+    if args.resume and os.path.exists(args.out):
+        params = load_params(args.out, like=params)
+        print(f"resumed from {args.out}", flush=True)
+
+    # freeze BatchNorm statistics: identity stats are the training-time norm
+    # (weight-conversion layout preserved); Adam updates masked to zero so
+    # `var` cannot drift negative under optimization.
+    def is_stat(path):
+        return path[-1].key in ("mean", "var")
+
+    mask = jax.tree_util.tree_map_with_path(lambda p, _: not is_stat(p), params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.masked(optax.adam(args.lr), mask),
+    )
+    opt_state = tx.init(params)
+
+    W_BETA, W_CAM, W_J2D = 0.2, 5.0, 2.0
+
+    def loss_fn(params, x, theta_gt, j2d_gt):
+        pose6d, shape, cam = net.apply(params, x)
+        from ipercore_tpu.ops.rotations import rot6d_to_rotmat
+
+        R_pred = rot6d_to_rotmat(pose6d.reshape(B, 24, 6))
+        R_gt = rodrigues(theta_gt[:, 3:75].reshape(B, 24, 3))
+        l_rot = jnp.mean((R_pred - R_gt) ** 2)
+        l_beta = jnp.mean((shape - theta_gt[:, 75:85]) ** 2)
+        l_cam = jnp.mean((cam - theta_gt[:, 0:3]) ** 2)
+        # joints through the rotmat LBS entry point: the axis-angle
+        # round-trip's gradient is singular at theta -> 0 (NaNs once
+        # predictions sharpen)
+        verts = jax.vmap(lambda sh, R: smpl_mod.lbs_from_rot(model, sh, R)[0])(
+            shape, R_pred)
+        j3d = jnp.einsum("kv,nvd->nkd", model.joint_regressor, verts)
+        j2d_pred = smpl_mod.batch_orth_proj_idrot(j3d, cam)
+        l_j2d = jnp.mean((j2d_pred - j2d_gt) ** 2)
+        loss = l_rot + W_BETA * l_beta + W_CAM * l_cam + W_J2D * l_j2d
+        px = jnp.mean(jnp.linalg.norm(j2d_pred - j2d_gt, axis=-1)) * (HMR_IMG_SIZE / 2)
+        return loss, {"rot": l_rot, "beta": l_beta, "cam": l_cam,
+                      "j2d_px": px}
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        x, theta_gt, j2d_gt = make_batch(key)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, theta_gt, j2d_gt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    key = jax.random.PRNGKey(123)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = train_step(params, opt_state, sub)
+        if step % max(args.steps // 20, 1) == 0 or step == args.steps - 1:
+            print(json.dumps({"step": step, "loss": round(float(loss), 4),
+                              **{k: round(float(v), 4) for k, v in aux.items()}}),
+                  flush=True)
+
+    x, theta_gt, j2d_gt = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    _, aux = loss_fn(params, x, theta_gt, j2d_gt)
+    result = {"metric": "spin_synthetic_holdout",
+              "j2d_px_224": round(float(aux["j2d_px"]), 2),
+              "rot_mse": round(float(aux["rot"]), 4),
+              "steps": args.steps,
+              "train_s": round(time.perf_counter() - t0, 1)}
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    f16 = jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+        else np.asarray(v), params)
+    save_params(args.out, f16)
+    result["out"] = args.out
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
