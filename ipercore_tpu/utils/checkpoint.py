@@ -52,11 +52,15 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
 
     import jax.numpy as jnp
 
-    # walk `like`'s structure and pick arrays from `tree` by matching key path
+    # walk `like`'s structure and pick arrays from `tree` by matching key
+    # path; cast to `like`'s dtype — checkpoints may be stored quantized
+    # (f16), and silently adopting the storage dtype would make a resumed
+    # training run compute in f16 (observed: NaN within hundreds of steps)
     def merge(l, t):
         if isinstance(l, dict) or hasattr(l, "keys"):
             return {k: merge(l[k], t[k]) for k in l.keys()}
-        return jnp.asarray(t)
+        dtype = getattr(l, "dtype", None)
+        return jnp.asarray(t, dtype=dtype)
 
     return merge(like, tree)
 

@@ -17,6 +17,17 @@ def test_params_roundtrip_preserves_structure(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["params"]["a"]["kernel"]), 1.0)
 
 
+def test_load_params_like_casts_storage_dtype(tmp_path):
+    """An f16-quantized checkpoint must come back in `like`'s dtype —
+    adopting the storage dtype silently put resumed training in f16 (NaN)."""
+    params = {"w": np.full((4, 4), 0.1, np.float16)}
+    p = str(tmp_path / "q.npz")
+    save_params(p, params)
+    like = {"w": jnp.zeros((4, 4), jnp.float32)}
+    back = load_params(p, like=like)
+    assert back["w"].dtype == jnp.float32
+
+
 def test_find_latest_iter(tmp_path):
     d = str(tmp_path)
     save_train_ckpt(d, 100, {"w": np.zeros(2)}, {"w": np.zeros(2)})
