@@ -151,12 +151,20 @@ class HumanMattor:
                 # silhouette: inside the eroded silhouette is certainly
                 # person, far outside the dilated one certainly background,
                 # and the segmenter resolves the uncertain band (clothing,
-                # hair). Robust to both failure modes — a drifting segmenter
-                # and an SMPL fit that misses loose apparel.
+                # hair). Only when the two roughly agree, though — a coarse
+                # SMPL fit (e.g. SPIN without SMPLify keypoints) can place
+                # the silhouette off the person entirely, and eroding it
+                # would stamp certain-person over background; per-frame IoU
+                # gates which source to trust.
                 sil = jnp.asarray(fallback_mask)
+                inter = jnp.sum(sil * mask, axis=(1, 2, 3))
+                union = jnp.sum(jnp.maximum(sil, mask), axis=(1, 2, 3))
+                agree = inter / jnp.maximum(union, 1.0)
                 fg = erode(sil, 11)
                 band = dilate(sil, 31) - fg
-                mask = jnp.clip(fg + band * mask, 0.0, 1.0)
+                banded = jnp.clip(fg + band * mask, 0.0, 1.0)
+                use_band = (agree > 0.5)[:, None, None, None]
+                mask = jnp.where(use_band, banded, mask)
         elif fallback_mask is not None:
             mask = jnp.asarray(fallback_mask)
         else:

@@ -199,7 +199,10 @@ class Preprocessor:
                 spin_in = np.asarray(
                     jax.image.resize(jnp.asarray(imgs), (len(imgs), 224, 224, 3), "linear"))
                 theta = self.spin.run(spin_in)
-                if self.use_smplify:
+                # SMPLify refinement only against real keypoints: with an
+                # untrained OpenPose (no checkpoint), random keypoints would
+                # actively corrupt the SPIN estimate
+                if self.use_smplify and self.pose2d.trained:
                     # NMS + PAF grouping + 1-euro filter (multi-person-safe)
                     kps, scores, valid = self.pose2d.run_tracked(spin_in)
                     from ipercore_tpu.tools.pose2d import body25_to_cocoplus

@@ -201,6 +201,16 @@ def test_mattor_trained_weights_band_combination():
     union = np.maximum(mask[..., 0], gt[..., 0]).sum()
     assert inter / union > 0.8
 
+    # A grossly-wrong silhouette (coarse SPIN fit off the person) must not
+    # stamp certain-person over background: the per-frame agreement gate
+    # falls back to the trained segmenter alone.
+    wrong = np.zeros_like(gt)
+    wrong[:, : S // 3, : S // 3] = 1.0
+    _, mask_w = m.run(img, fallback_mask=wrong)
+    inter_w = (mask_w[..., 0] * gt[..., 0]).sum()
+    union_w = np.maximum(mask_w[..., 0], gt[..., 0]).sum()
+    assert inter_w / union_w > 0.5  # not dragged to the wrong corner
+
 
 def test_inpaintor_fallback_fills():
     from ipercore_tpu.tools.inpaintors import SuperResolutionInpaintor
