@@ -11,6 +11,7 @@ feature learning").
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -63,6 +64,28 @@ class VGGFeatures(nn.Module):
 
 # weights per slice, `vggloss.py:310` ([1/32, 1/16, 1/8, 1/4, 1])
 VGG_SLICE_WEIGHTS = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+
+# On-device-trained perceptual weights (scripts/train_vgg.py: the VGG19
+# pyramid supervised on body-part segmentation over procedural renders) —
+# the no-network stand-in for the torchvision ImageNet VGG19 the reference
+# downloads (`vggloss.py:59`). Converted torch weights drop into the same
+# file layout via `torch_convert.convert_vgg19`.
+DEFAULT_VGG_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))),
+    "assets", "vgg_perceptual.npz")
+
+
+def init_vgg_params(rng, image_size: int, weights_path: str = None):
+    """VGGFeatures params: trained checkpoint when present, else random init."""
+    path = weights_path or DEFAULT_VGG_WEIGHTS
+    net = VGGFeatures()
+    params = jax.jit(net.init)(rng, jnp.zeros((1, image_size, image_size, 3)))
+    if os.path.exists(path):
+        from ipercore_tpu.utils.checkpoint import load_params
+
+        params = load_params(path, like=params)
+    return params
 
 
 def perceptual_loss(feat_params, apply_fn, pred: jnp.ndarray, target: jnp.ndarray,

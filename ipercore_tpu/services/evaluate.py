@@ -48,12 +48,13 @@ class PerceptualMetric:
     """LPIPS-style distance through a VGG feature pyramid."""
 
     def __init__(self, params=None, image_size: int = 256):
-        from ipercore_tpu.models.networks.criterions import VGGFeatures
+        from ipercore_tpu.models.networks.criterions import (
+            VGGFeatures, init_vgg_params)
 
         self.net = VGGFeatures()
         if params is None:
-            params = jax.jit(self.net.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
+            # trained perceptual weights (scripts/train_vgg.py) when present
+            params = init_vgg_params(jax.random.PRNGKey(0), image_size)
         self.params = params
 
         @jax.jit

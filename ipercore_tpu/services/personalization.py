@@ -33,6 +33,10 @@ def load_pretrained_generator(opt, params_like):
     candidates = [
         str(opt.get("load_path_G", "") or ""),
         os.path.join(opt.output_dir, "models", "pretrains", "AttLWB-SPADE_G.npz"),
+        # repo-shipped pretrain (scripts/train_lwg_pretrain.py on procedural
+        # identities) — the no-network stand-in for the published checkpoint
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "lwg_pretrained_G.npz"),
     ]
     for p in candidates:
         if not p or not os.path.exists(p):
@@ -131,7 +135,7 @@ def personalize(opt) -> str:
     gen = build_generator(opt.get("gen_name", "AttLWB-SPADE"), opt.Generator)
     dis = build_discriminator(opt.get("dis_name", "patch_global"), opt.Discriminator)
     vgg = C.VGGFeatures()
-    vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    vgg_params = C.init_vgg_params(jax.random.PRNGKey(1), S)
     face = C.SphereFaceFeatures()
     face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
 

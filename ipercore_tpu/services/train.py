@@ -56,7 +56,7 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     dis = build_discriminator(opt.get("dis_name", "patch_global_body_head"),
                               opt.Discriminator, use_aug_bg=aug_bg)
     vgg = C.VGGFeatures()
-    vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+    vgg_params = C.init_vgg_params(jax.random.PRNGKey(1), S)
     face = C.SphereFaceFeatures()
     face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
 

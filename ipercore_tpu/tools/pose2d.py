@@ -143,8 +143,11 @@ class OpenPoseBody25(nn.Module):
 
 
 def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
-    """Argmax decode per joint (single-person) — role of `post_process.py` NMS
-    + grouping for the tracked person.
+    """Argmax + sub-pixel decode per joint (single-person) — role of
+    `post_process.py` NMS + grouping for the tracked person. Sub-pixel
+    refinement is a 3x3 center-of-mass around the peak (a gaussian peak's
+    COM recovers the off-grid center; the stride-8 heatmap grid alone
+    quantizes to ~4px at 224).
 
     Args:
         heatmaps: (N, h, w, J+1); the last channel is background.
@@ -157,10 +160,29 @@ def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
     flat = hm.reshape(N, h * w, J)
     idx = jnp.argmax(flat, axis=1)  # (N, J)
     scores = jnp.take_along_axis(flat, idx[:, None, :], axis=1)[:, 0]  # (N, J)
-    ys = (idx // w).astype(jnp.float32)
-    xs = (idx % w).astype(jnp.float32)
-    x_ndc = (2.0 * xs + 1.0 - w) / w
-    y_ndc = (2.0 * ys + 1.0 - h) / h
+    ys = (idx // w).astype(jnp.int32)
+    xs = (idx % w).astype(jnp.int32)
+
+    # 3x3 COM refinement on the zero-padded heatmap (peak at a border keeps
+    # its in-bounds neighbours only)
+    pad = jnp.pad(hm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    flatp = pad.reshape(N, (h + 2) * (w + 2), J)
+    num_x = jnp.zeros_like(scores)
+    num_y = jnp.zeros_like(scores)
+    den = jnp.zeros_like(scores)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nidx = (ys + 1 + dy) * (w + 2) + (xs + 1 + dx)
+            v = jnp.take_along_axis(flatp, nidx[:, None, :], axis=1)[:, 0]
+            v = jnp.maximum(v, 0.0)
+            num_x = num_x + v * dx
+            num_y = num_y + v * dy
+            den = den + v
+    off_x = jnp.clip(num_x / jnp.maximum(den, 1e-6), -1.0, 1.0)
+    off_y = jnp.clip(num_y / jnp.maximum(den, 1e-6), -1.0, 1.0)
+
+    x_ndc = (2.0 * (xs.astype(jnp.float32) + off_x) + 1.0 - w) / w
+    y_ndc = (2.0 * (ys.astype(jnp.float32) + off_y) + 1.0 - h) / h
     kps = jnp.stack([x_ndc, y_ndc], axis=-1)
     valid = scores > threshold
     return kps, scores, valid

@@ -109,16 +109,25 @@ def main():
                               **{k: round(float(v), 5) for k, v in aux.items()}}),
                   flush=True)
 
-    # holdout: argmax decode px error over the supervised joints
+    # holdout: decode px error over supervised joints. Out-of-frame GT joints
+    # are excluded (their gaussians are clipped off the heatmap — nothing to
+    # decode); the production consumer (SMPLify) weights by predicted score,
+    # so the score-gated error is the operative number.
     x, hm_t, paf_t, hm_w, paf_w, j2d = jax.jit(make_batch)(jax.random.PRNGKey(777))
     _, hm = jax.jit(lambda p, x: net.apply(p, x))(params, x)
     kps, scores, valid = decode_single_person(hm)
     b25_gt, valid25 = sd.body25_from_cocoplus(j2d)
-    err = jnp.linalg.norm(jnp.asarray(kps) - b25_gt, axis=-1) * (IN / 2)
-    m = valid25[None, :] * np.ones((B, 1))
-    px = float((err * m).sum() / m.sum())
+    in_frame = np.asarray(jnp.all(jnp.abs(b25_gt) < 1.0, axis=-1), np.float32)
+    err = np.asarray(jnp.linalg.norm(jnp.asarray(kps) - b25_gt, axis=-1)) * (IN / 2)
+    m = np.asarray(valid25)[None, :] * in_frame
+    px = float((err * m).sum() / max(m.sum(), 1))
+    conf = m * np.asarray(scores > 0.3)
+    px_conf = float((err * conf).sum() / max(conf.sum(), 1))
     result = {"metric": "openpose_synthetic_holdout",
-              "decode_px_err": round(px, 2), "steps": args.steps,
+              "decode_px_err": round(px, 2),
+              "decode_px_err_conf": round(px_conf, 2),
+              "conf_frac": round(float(conf.sum() / max(m.sum(), 1)), 3),
+              "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
