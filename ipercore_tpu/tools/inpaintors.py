@@ -26,6 +26,10 @@ from ipercore_tpu.ops.sampling import resize_image
 INPAINT_DEFAULT_WEIGHTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "assets", "inpaintor.npz")
+# Trained-on-device 4x SR weights (scripts/train_esrgan.py); converted torch
+# `esrgan_psnr_x4c64b23g32` weights use the same layout (convert_esrgan).
+SR_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(INPAINT_DEFAULT_WEIGHTS), "esrgan.npz")
 
 
 class GatedConv(nn.Module):
@@ -165,6 +169,14 @@ class SuperResolutionInpaintor:
         if inpaint_params is None:
             inpaint_params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)))
+        self.sr_trained = sr_params is not None
+        if sr_params is None and os.path.exists(SR_DEFAULT_WEIGHTS):
+            from ipercore_tpu.utils.checkpoint import load_params
+
+            sr_params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x), jnp.float32),
+                load_params(SR_DEFAULT_WEIGHTS))
+            self.sr_trained = True
         if sr_params is None:
             sr_params = jax.jit(self.sr.init)(
                 jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)))
@@ -189,7 +201,7 @@ class SuperResolutionInpaintor:
         else:
             out = diffusion_fill(img_c * (1 - mask_c), mask_c)
         if (H, W) != (s, s):
-            if self.trained and max(H, W) >= 4 * s:
+            if self.sr_trained and max(H, W) >= 4 * s:
                 # RRDBNet runs in the ESRGAN checkpoint's [0, 1] domain
                 out = self._sr(self.sr_params, (out + 1.0) * 0.5)
                 out = jnp.clip(out, 0.0, 1.0) * 2.0 - 1.0

@@ -31,6 +31,15 @@ import flax.linen as nn
 
 from ipercore_tpu.models.networks.blocks import PAD3, FrozenBatchNorm as FrozenBN
 
+import os as _os
+
+# Trained-on-device weights (scripts/train_schp.py) — auto-loaded by
+# `build_parser` when present; converted `exp-schp-lip.pth` weights
+# (`utils.torch_convert.convert_schp`) use the same layout.
+SCHP_DEFAULT_WEIGHTS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "assets", "schp.npz")
+
 # LIP label semantics — `schp_parser.py:49-58` DATASET_SETTINGS["lip"].
 LIP_INPUT_SIZE = 473
 LIP_NUM_CLASSES = 20
@@ -326,14 +335,18 @@ class SchpParser:
 
 
 def build_parser(weights_path: Optional[str] = None) -> Optional[SchpParser]:
-    """Load converted SCHP weights (npz of the flax tree) if present; None
-    otherwise — downstream stages then keep their geometry fallbacks."""
-    if weights_path is None:
-        return None
+    """Load SCHP weights (npz of the flax tree — converted torch or
+    on-device-trained `assets/schp.npz`) if present; None otherwise —
+    downstream stages then keep their geometry fallbacks."""
     import os
 
+    if weights_path is None:
+        weights_path = SCHP_DEFAULT_WEIGHTS
     if not os.path.exists(weights_path):
         return None
     from ipercore_tpu.utils.checkpoint import load_params
 
-    return SchpParser(params=load_params(weights_path))
+    params = load_params(weights_path)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), params)
+    return SchpParser(params=params)

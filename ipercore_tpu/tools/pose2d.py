@@ -142,7 +142,8 @@ class OpenPoseBody25(nn.Module):
         return paf, hm
 
 
-def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
+def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1,
+                         n_joints: int = None):
     """Argmax + sub-pixel decode per joint (single-person) — role of
     `post_process.py` NMS + grouping for the tracked person. Sub-pixel
     refinement is a 3x3 center-of-mass around the peak (a gaussian peak's
@@ -155,7 +156,7 @@ def decode_single_person(heatmaps: jnp.ndarray, threshold: float = 0.1):
     Returns:
         kps: (N, J, 2) x,y in [-1, 1] NDC; scores (N, J).
     """
-    hm = heatmaps[..., :N_BODY25_JOINTS]
+    hm = heatmaps[..., :(n_joints or N_BODY25_JOINTS)]
     N, h, w, J = hm.shape
     flat = hm.reshape(N, h * w, J)
     idx = jnp.argmax(flat, axis=1)  # (N, J)
@@ -282,13 +283,7 @@ def build_pose2d_estimator(name: str = "openpose_body25", **kw):
     if name in ("openpose_body25", "openpose", "body25"):
         return OpenPoseRunner(**kw)
     if name in ("mobilenet", "lightweight"):
-        from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPose
+        from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPoseRunner
 
-        net = MobilenetOpenPose()
-        params = kw.get("params")
-        if params is None:
-            params = jax.jit(net.init)(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, kw.get("input_size", 256), kw.get("input_size", 256), 3)))
-        return net, params
+        return MobilenetOpenPoseRunner(**kw)
     raise KeyError(f"unknown pose2d estimator {name!r}")

@@ -38,6 +38,22 @@ BODY25_PAF_IDS = [
 ]
 N_JOINTS = 25
 
+# COCO-18 wiring (the Mobilenet variant's head, Osokin's
+# lightweight-human-pose-estimation tables; `mobilenet.py` consumers):
+# joints: 0 nose, 1 neck, 2-4 R arm, 5-7 L arm, 8-10 R leg, 11-13 L leg,
+# 14/15 R/L eye, 16/17 R/L ear. 19 limbs over 38 PAF channels.
+COCO18_LIMBS = [
+    (1, 2), (1, 5), (2, 3), (3, 4), (5, 6), (6, 7), (1, 8), (8, 9),
+    (9, 10), (1, 11), (11, 12), (12, 13), (1, 0), (0, 14), (14, 16),
+    (0, 15), (15, 17), (2, 16), (5, 17),
+]
+COCO18_PAF_IDS = [
+    (12, 13), (20, 21), (14, 15), (16, 17), (22, 23), (24, 25), (0, 1),
+    (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (28, 29), (30, 31),
+    (34, 35), (32, 33), (36, 37), (18, 19), (26, 27),
+]
+N_COCO18_JOINTS = 18
+
 
 def extract_peaks(hm: np.ndarray, threshold: float = 0.1,
                   min_dist: float = 6.0, max_peaks: int = 16) -> np.ndarray:
@@ -174,14 +190,19 @@ def group_people(peaks_by_joint: list[np.ndarray], pafs: np.ndarray,
 
 
 def decode_multi_person(heatmaps: np.ndarray, pafs: np.ndarray,
-                        threshold: float = 0.1) -> list[dict]:
+                        threshold: float = 0.1, limbs=BODY25_LIMBS,
+                        paf_ids=BODY25_PAF_IDS,
+                        n_joints: int = N_JOINTS) -> list[dict]:
     """Full decode of one image: NMS per joint + PAF grouping.
 
     Args:
-        heatmaps: (h, w, J+1) (last channel background); pafs: (h, w, 52).
+        heatmaps: (h, w, J+1) (last channel background); pafs: (h, w, 2L).
+        limbs/paf_ids/n_joints: topology tables — Body-25 by default,
+        pass the COCO18_* tables for the Mobilenet head.
     """
-    peaks = [extract_peaks(heatmaps[..., j], threshold) for j in range(N_JOINTS)]
-    return group_people(peaks, pafs)
+    peaks = [extract_peaks(heatmaps[..., j], threshold) for j in range(n_joints)]
+    return group_people(peaks, pafs, limbs=limbs, paf_ids=paf_ids,
+                        n_joints=n_joints)
 
 
 def pick_largest_person(people: list[dict]) -> Optional[dict]:

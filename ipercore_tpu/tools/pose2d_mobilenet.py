@@ -13,6 +13,9 @@ keypoints map to SMPL slots via `utils.keypoints` formatters.
 """
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -154,3 +157,100 @@ class MobilenetOpenPose(nn.Module):
             rin = jnp.concatenate([feats, hm, paf], axis=-1)
             hm, paf = RefinementStage(self.features, name=f"refine{r}")(rin)
         return hm, paf
+
+
+# COCO-18 joint id -> Body-25 slot (Body-25 8 = mid-hip has no COCO joint;
+# the runner synthesizes it from the two hips) — lets Mobilenet results flow
+# through the same `body25_to_cocoplus` formatter as the default estimator.
+COCO18_TO_BODY25_SLOT = np.array(
+    [0, 1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18], np.int32)
+
+MOBILENET_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "mobilenet_openpose.npz")
+
+
+class MobilenetOpenPoseRunner:
+    """Batched jitted runner for the lightweight variant — same (kps, scores,
+    valid) Body-25-slot contract as `pose2d.OpenPoseRunner.run`, so either
+    estimator drops into preprocessing stage 1.3 unchanged.
+
+    Normalization follows the published checkpoint's recipe ((pix-128)/256,
+    BGR): our [-1, 1] RGB inputs map to it as `x[..., ::-1] * 0.5`. Trained
+    weights (scripts/train_openpose.py --arch mobilenet) auto-load from
+    `assets/mobilenet_openpose.npz`; converted torch checkpoints
+    (`torch_convert.convert_mobilenet_openpose`) can be passed as `params`.
+    """
+
+    def __init__(self, params=None, input_size: int = 256,
+                 weights_path: str = None):
+        self.net = MobilenetOpenPose()
+        self.input_size = input_size
+        self.trained = params is not None
+        if params is None:
+            params = jax.jit(self.net.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, input_size, input_size, 3)))
+            path = weights_path or MOBILENET_DEFAULT_WEIGHTS
+            if os.path.exists(path):
+                from ipercore_tpu.utils.checkpoint import load_params
+
+                params = load_params(path, like=params)
+                self.trained = True
+        self.params = params
+        self._apply = jax.jit(self.net.apply)
+
+    def _to_body25(self, kps18, scores18):
+        """(…, 18, 2)/(…, 18) COCO -> (…, 25, 2)/(…, 25) Body-25 slots."""
+        N = kps18.shape[0]
+        kps = np.zeros((N, 25, 2), np.float32)
+        scores = np.zeros((N, 25), np.float32)
+        kps[:, COCO18_TO_BODY25_SLOT] = kps18
+        scores[:, COCO18_TO_BODY25_SLOT] = scores18
+        both = np.minimum(scores[:, 9], scores[:, 12])
+        kps[:, 8] = 0.5 * (kps[:, 9] + kps[:, 12])
+        scores[:, 8] = both
+        return kps, scores
+
+    def run(self, images: np.ndarray):
+        """images: (N, H, W, 3) in [-1, 1]. Returns kps (N, 25, 2) NDC,
+        scores (N, 25), valid (N, 25)."""
+        from ipercore_tpu.tools.pose2d import decode_single_person
+
+        x = jnp.asarray(images)[..., ::-1] * 0.5
+        hm, _ = self._apply(self.params, x)
+        kps18, scores18, _ = decode_single_person(hm, n_joints=18)
+        kps, scores = self._to_body25(np.asarray(kps18), np.asarray(scores18))
+        return kps, scores, scores > 0.1
+
+    def run_tracked(self, images: np.ndarray, smooth: bool = True):
+        """Multi-person-safe decode (NMS + PAF grouping + 1-euro), COCO-18
+        topology — mirror of `pose2d.OpenPoseRunner.run_tracked`."""
+        from ipercore_tpu.tools.pose2d import decode_single_person
+        from ipercore_tpu.tools.pose2d_decode import (
+            COCO18_LIMBS, COCO18_PAF_IDS, OneEuroFilter, decode_multi_person,
+            pick_largest_person)
+
+        x = jnp.asarray(images)[..., ::-1] * 0.5
+        hm, paf = self._apply(self.params, x)
+        hm_n, paf_n = np.asarray(hm), np.asarray(paf)
+        kps18, scores18, _ = decode_single_person(hm, n_joints=18)
+        kps18, scores18 = np.asarray(kps18), np.array(np.asarray(scores18))
+        kps18 = np.array(kps18)
+
+        h, w = hm_n.shape[1:3]
+        filt = OneEuroFilter() if smooth else None
+        for i in range(len(hm_n)):
+            people = decode_multi_person(hm_n[i], paf_n[i], limbs=COCO18_LIMBS,
+                                         paf_ids=COCO18_PAF_IDS, n_joints=18)
+            best = pick_largest_person(people)
+            if best is not None:
+                px = best["kps"]  # (18, 2) pixel coords, NaN missing
+                ndc = np.stack([(2 * px[:, 0] + 1 - w) / w,
+                                (2 * px[:, 1] + 1 - h) / h], axis=1)
+                take = np.isfinite(ndc[:, 0])
+                kps18[i][take] = ndc[take]
+                scores18[i][take] = best["scores"][take]
+            if filt is not None:
+                kps18[i] = filt(kps18[i])
+        kps, scores = self._to_body25(kps18, scores18)
+        return kps, scores, scores > 0.1

@@ -195,31 +195,28 @@ def body25_from_cocoplus(j2d_coco: jnp.ndarray):
     return out, valid
 
 
-def make_pose2d_targets(j2d_coco: jnp.ndarray, hm_size: int,
-                        sigma: float = 1.5):
-    """Gaussian heatmaps + limb PAFs at `hm_size` from cocoplus joints.
+def _pose2d_targets(joints_ndc: jnp.ndarray, valid: np.ndarray, hm_size: int,
+                    sigma: float, limbs, paf_ids, n_paf_ch: int):
+    """Shared builder: gaussian heatmaps (+background) and limb PAFs.
 
-    Returns (heatmaps (B, h, h, 26), pafs (B, h, h, 52), hm_weight (26,),
-    paf_weight (52,)) matching `OpenPoseBody25` channel conventions
-    (channel 25 = background).
+    joints_ndc: (B, J, 2) NDC; valid: host (J,) 0/1; limbs/paf_ids: topology.
+    Returns (heatmaps (B, h, h, J+1), pafs (B, h, h, n_paf_ch),
+    hm_weight (J+1,), paf_weight (n_paf_ch,)).
     """
-    from ipercore_tpu.tools.pose2d_decode import BODY25_LIMBS, BODY25_PAF_IDS
-
-    b25, valid = body25_from_cocoplus(j2d_coco)  # NDC
-    px = (b25 + 1.0) * 0.5 * hm_size - 0.5      # heatmap pixel coords
+    px = (joints_ndc + 1.0) * 0.5 * hm_size - 0.5  # heatmap pixel coords
     B = px.shape[0]
     yy, xx = jnp.meshgrid(jnp.arange(hm_size, dtype=jnp.float32),
                           jnp.arange(hm_size, dtype=jnp.float32), indexing="ij")
     d2 = ((xx[None, None] - px[:, :, 0, None, None]) ** 2
-          + (yy[None, None] - px[:, :, 1, None, None]) ** 2)  # (B, 25, h, h)
+          + (yy[None, None] - px[:, :, 1, None, None]) ** 2)  # (B, J, h, h)
     hm = jnp.exp(-d2 / (2 * sigma ** 2)) * valid[None, :, None, None]
     bgc = jnp.clip(1.0 - hm.max(axis=1, keepdims=True), 0.0, 1.0)
     heatmaps = jnp.moveaxis(jnp.concatenate([hm, bgc], axis=1), 1, -1)
     hm_weight = np.concatenate([valid, np.ones((1,), np.float32)])
 
-    pafs = jnp.zeros((B, 52, hm_size, hm_size))
-    paf_weight = np.zeros((52,), np.float32)
-    for (ja, jb), (cx, cy) in zip(BODY25_LIMBS, BODY25_PAF_IDS):
+    pafs = jnp.zeros((B, n_paf_ch, hm_size, hm_size))
+    paf_weight = np.zeros((n_paf_ch,), np.float32)
+    for (ja, jb), (cx, cy) in zip(limbs, paf_ids):
         if not (float(valid[ja]) and float(valid[jb])):
             continue
         a, bpt = px[:, ja], px[:, jb]  # (B, 2)
@@ -236,3 +233,37 @@ def make_pose2d_targets(j2d_coco: jnp.ndarray, hm_size: int,
         pafs = pafs.at[:, cy].set(on_limb * u[:, 1, None, None])
         paf_weight[cx] = paf_weight[cy] = 1.0
     return heatmaps, jnp.moveaxis(pafs, 1, -1), hm_weight, paf_weight
+
+
+def make_pose2d_targets(j2d_coco: jnp.ndarray, hm_size: int,
+                        sigma: float = 1.5):
+    """Gaussian heatmaps + limb PAFs at `hm_size` from cocoplus joints.
+
+    Returns (heatmaps (B, h, h, 26), pafs (B, h, h, 52), hm_weight (26,),
+    paf_weight (52,)) matching `OpenPoseBody25` channel conventions
+    (channel 25 = background).
+    """
+    from ipercore_tpu.tools.pose2d_decode import BODY25_LIMBS, BODY25_PAF_IDS
+
+    b25, valid = body25_from_cocoplus(j2d_coco)  # NDC
+    return _pose2d_targets(b25, valid, hm_size, sigma,
+                           BODY25_LIMBS, BODY25_PAF_IDS, 52)
+
+
+# cocoplus-19 index feeding each COCO-18 joint (Mobilenet variant head):
+# nose, neck, R-sho/elb/wri, L-sho/elb/wri, R-hip/knee/ank, L-hip/knee/ank,
+# R/L-eye, R/L-ear.
+COCO18_FROM_COCOPLUS = np.asarray(
+    [13, 12, 8, 7, 6, 9, 10, 11, 2, 1, 0, 3, 4, 5, 15, 17, 14, 16], np.int32)
+
+
+def make_pose2d_targets_coco18(j2d_coco: jnp.ndarray, hm_size: int,
+                               sigma: float = 1.5):
+    """COCO-18 targets for `MobilenetOpenPose`: (B, h, h, 19) heatmaps
+    (channel 18 = background) + (B, h, h, 38) PAFs."""
+    from ipercore_tpu.tools.pose2d_decode import COCO18_LIMBS, COCO18_PAF_IDS
+
+    j18 = j2d_coco[:, COCO18_FROM_COCOPLUS]
+    valid = np.ones((18,), np.float32)
+    return _pose2d_targets(j18, valid, hm_size, sigma,
+                           COCO18_LIMBS, COCO18_PAF_IDS, 38)

@@ -39,7 +39,10 @@ def main():
     ap.add_argument("--scene_size", type=int, default=256)
     ap.add_argument("--input_size", type=int, default=224,
                     help="net input (preprocessing feeds 224 crops)")
-    ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "openpose.npz"))
+    ap.add_argument("--arch", choices=("body25", "mobilenet"), default="body25",
+                    help="body25 = OpenPoseBody25; mobilenet = the "
+                         "lightweight COCO-18 variant")
+    ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -69,14 +72,29 @@ def main():
         assets = load_assets(model)
     B, S, IN = args.batch, args.scene_size, args.input_size
     HM = IN // 8
+    mobile = args.arch == "mobilenet"
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "assets",
+            "mobilenet_openpose.npz" if mobile else "openpose.npz")
 
     def make_batch(key):
         sb = sd.compose_scene(key, model, assets, batch=B, size=S)
-        x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear") * 0.5  # runner scaling
-        hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets(sb.j2d, HM)
+        x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear")
+        if mobile:  # MobilenetOpenPoseRunner scaling: BGR, (pix-128)/256
+            x = x[..., ::-1] * 0.5
+            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets_coco18(sb.j2d, HM)
+        else:  # OpenPoseRunner scaling
+            x = x * 0.5
+            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets(sb.j2d, HM)
         return x, hm_t, paf_t, hm_w, paf_w, sb.j2d
 
-    net = OpenPoseBody25()
+    if mobile:
+        from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPose
+
+        net = MobilenetOpenPose()
+    else:
+        net = OpenPoseBody25()
     params = jax.jit(net.init)(jax.random.PRNGKey(0), jnp.zeros((1, IN, IN, 3)))
     if args.resume and os.path.exists(args.out):
         params = load_params(args.out, like=params)
@@ -86,7 +104,11 @@ def main():
     opt_state = tx.init(params)
 
     def loss_fn(params, x, hm_t, paf_t, hm_w, paf_w):
-        _, _, pafs, hms = net.apply(params, x, return_stages=True)
+        if mobile:  # deep supervision unavailable: last stage only
+            hm_o, paf_o = net.apply(params, x)
+            pafs, hms = [paf_o], [hm_o]
+        else:
+            _, _, pafs, hms = net.apply(params, x, return_stages=True)
         l_paf = sum(jnp.mean(((p - paf_t) ** 2) * paf_w) for p in pafs) / len(pafs)
         l_hm = sum(jnp.mean(((h - hm_t) ** 2) * hm_w) for h in hms) / len(hms)
         return l_paf + l_hm, {"paf": l_paf, "hm": l_hm}
@@ -114,16 +136,22 @@ def main():
     # decode); the production consumer (SMPLify) weights by predicted score,
     # so the score-gated error is the operative number.
     x, hm_t, paf_t, hm_w, paf_w, j2d = jax.jit(make_batch)(jax.random.PRNGKey(777))
-    _, hm = jax.jit(lambda p, x: net.apply(p, x))(params, x)
-    kps, scores, valid = decode_single_person(hm)
-    b25_gt, valid25 = sd.body25_from_cocoplus(j2d)
+    if mobile:
+        hm, _ = jax.jit(lambda p, x: net.apply(p, x))(params, x)
+        kps, scores, valid = decode_single_person(hm, n_joints=18)
+        b25_gt = j2d[:, sd.COCO18_FROM_COCOPLUS]
+        valid25 = np.ones((18,), np.float32)
+    else:
+        _, hm = jax.jit(lambda p, x: net.apply(p, x))(params, x)
+        kps, scores, valid = decode_single_person(hm)
+        b25_gt, valid25 = sd.body25_from_cocoplus(j2d)
     in_frame = np.asarray(jnp.all(jnp.abs(b25_gt) < 1.0, axis=-1), np.float32)
     err = np.asarray(jnp.linalg.norm(jnp.asarray(kps) - b25_gt, axis=-1)) * (IN / 2)
     m = np.asarray(valid25)[None, :] * in_frame
     px = float((err * m).sum() / max(m.sum(), 1))
     conf = m * np.asarray(scores > 0.3)
     px_conf = float((err * conf).sum() / max(conf.sum(), 1))
-    result = {"metric": "openpose_synthetic_holdout",
+    result = {"metric": "openpose_synthetic_holdout", "arch": args.arch,
               "decode_px_err": round(px, 2),
               "decode_px_err_conf": round(px_conf, 2),
               "conf_frac": round(float(conf.sum() / max(m.sum(), 1)), 3),
