@@ -145,6 +145,52 @@ def main():
     bg_rec = inp.run_inpainting(acc, hole)
     result["bg_l1"] = round(float(np.abs(bg_rec - np.asarray(bg[0])).mean()), 4)
 
+    # --- ESRGAN 4x SR (when trained): PSNR vs bilinear on the GT plate -----
+    if inp.sr_trained:
+        lo = jax.lax.reduce_window(
+            (bg[:1] + 1) * 0.5, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1),
+            "VALID") / 16.0
+        hi = jnp.clip(inp._sr(inp.sr_params, lo), 0, 1) * 2 - 1
+        bil = jax.image.resize(lo * 2 - 1, bg[:1].shape, "bilinear")
+
+        def _psnr(x):
+            return round(float(-10 * jnp.log10(jnp.mean((x - bg[:1]) ** 2 / 4)
+                                               + 1e-12)), 2)
+
+        result["sr_psnr"] = _psnr(hi)
+        result["sr_psnr_bilinear"] = _psnr(bil)
+
+    # --- SCHP parser (when trained): LIP body-mask IoU ---------------------
+    from ipercore_tpu.tools.parsers import build_parser
+
+    parser = build_parser(None)
+    result["schp_trained"] = parser is not None
+    if parser is not None:
+        ok, body_masks = parser.run(frames[:4], "body")
+        if ok and body_masks:
+            bm = np.stack(body_masks)[..., None].astype(np.float32)
+            gm = gt_mask[:4]
+            result["schp_body_iou"] = round(
+                float((bm * gm).sum() / np.maximum(np.maximum(bm, gm).sum(), 1)), 4)
+        ok_sd, _ = parser.run(frames[:4], "skirt+dress")
+        result["schp_false_skirt"] = bool(ok_sd)  # no skirt in these scenes
+
+    # --- Mobilenet pose (when trained): decode error like openpose ---------
+    from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPoseRunner
+
+    mob = MobilenetOpenPoseRunner(input_size=224)
+    result["mobilenet_trained"] = mob.trained
+    if mob.trained:
+        mk, ms, mv = mob.run(spin_in)
+        b25_gt, valid25 = sd.body25_from_cocoplus(
+            smpl_mod.get_details(model, theta_gt)["j2d"])
+        v = valid25.copy()
+        v[19:] = 0  # mobilenet has no toe/heel channels
+        v[8] = 0    # synthesized mid-hip is derived, not decoded
+        err = np.linalg.norm(mk - np.asarray(b25_gt), axis=-1) * (224 / 2)
+        result["mobilenet_px_224"] = round(
+            float((err * v[None]).sum() / (v.sum() * T)), 2)
+
     result["wall_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(result))
 
