@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "inpaintor.npz"))
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--pool", type=int, default=64,
+                    help="pre-rendered SMPL silhouette pool size (renders are "
+                         "the per-step cost bottleneck on CPU; the pool is "
+                         "rendered once and augmented per step)")
+    ap.add_argument("--save_every", type=int, default=200,
+                    help="checkpoint cadence in steps (0 = only at the end)")
     args = ap.parse_args()
 
     import jax
@@ -65,14 +71,36 @@ def main():
         assets = load_assets(model)
     B, S = args.batch, args.size
 
+    # Pre-render a pool of dilated SMPL silhouettes once: the per-step SMPL
+    # render dominated step cost (~6s/step on the 1-core CPU host); sampling
+    # a pre-rendered pool with flip/shift augmentation keeps the production
+    # hole shapes while cutting a step to the inpaintor fwd/bwd.
+    def render_sil_chunk(key):
+        theta = sd.make_theta(key, B)
+        fim = sd.render_fim(model, theta, S, f2uvs=assets.f2uvs)
+        return dilate((fim >= 0).astype(jnp.float32)[..., None], 15)
+
+    pool_n = max(args.pool, B)
+    render_sil_chunk = jax.jit(render_sil_chunk)
+    chunks = []
+    pk = jax.random.PRNGKey(101)
+    for _ in range(-(-pool_n // B)):
+        pk, sub = jax.random.split(pk)
+        chunks.append(render_sil_chunk(sub))
+    sil_pool = jnp.concatenate(chunks, axis=0)[:pool_n]  # (P, S, S, 1)
+    print(f"silhouette pool ready: {sil_pool.shape}", flush=True)
+
     def make_batch(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k3, k4, k5, k6, k7 = jax.random.split(key, 6)
         bg = sd.synth_background(k1, B, S)
         # half the holes are dilated SMPL silhouettes (the production hole),
         # half random rectangles/ellipses (generalization)
-        theta = sd.make_theta(k2, B)
-        fim = sd.render_fim(model, theta, S, f2uvs=assets.f2uvs)
-        sil = dilate((fim >= 0).astype(jnp.float32)[..., None], 15)
+        idx = jax.random.randint(k5, (B,), 0, pool_n)
+        sil = sil_pool[idx]
+        flip = jax.random.bernoulli(k6, 0.5, (B, 1, 1, 1))
+        sil = jnp.where(flip, sil[:, :, ::-1], sil)
+        shift = jax.random.randint(k7, (B, 2), -S // 8, S // 8 + 1)
+        sil = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(sil, shift)
         rand = sd.random_holes(k3, B, S)
         use_sil = jax.random.bernoulli(k4, 0.5, (B, 1, 1, 1))
         hole = jnp.where(use_sil, sil, rand)
@@ -105,6 +133,13 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
+    def save(params):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        f16 = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+            else np.asarray(v), params)
+        save_params(args.out, f16)
+
     key = jax.random.PRNGKey(55)
     t0 = time.perf_counter()
     for step in range(args.steps):
@@ -114,6 +149,8 @@ def main():
             print(json.dumps({"step": step, "loss": round(float(loss), 4),
                               **{k: round(float(v), 4) for k, v in aux.items()}}),
                   flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save(params)
 
     bg, hole = jax.jit(make_batch)(jax.random.PRNGKey(777))
     _, aux = loss_fn(params, bg, hole)
@@ -122,11 +159,7 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    f16 = jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
-        else np.asarray(v), params)
-    save_params(args.out, f16)
+    save(params)
     result["out"] = args.out
     print(json.dumps(result))
 
