@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "esrgan.npz"))
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="pre-render this many HR scenes once and augment per "
+                         "step (flip/shift/color) instead of rendering every "
+                         "step — for CPU hosts. 0 = fresh scenes (TPU default)")
+    ap.add_argument("--save_every", type=int, default=200,
+                    help="checkpoint cadence in steps (0 = only at the end)")
     args = ap.parse_args()
 
     import jax
@@ -65,13 +71,43 @@ def main():
         assets = load_assets(model)
     B, S = args.batch, args.size
 
+    def render_scenes(key):
+        return sd.compose_scene(key, model, assets, B, S).img
+
+    if args.pool:
+        # Pre-render the person scenes once (the per-step cost bottleneck on
+        # CPU); plates stay fresh, and SR is flip/shift/color invariant so
+        # pooled scenes augment freely.
+        render_scenes = jax.jit(render_scenes)
+        pool_n = max(args.pool, B)
+        chunks = []
+        pk = jax.random.PRNGKey(909)
+        for _ in range(-(-pool_n // B)):
+            pk, sub = jax.random.split(pk)
+            chunks.append(render_scenes(sub))
+        scene_pool = jnp.concatenate(chunks, axis=0)[:pool_n]
+        print(f"scene pool ready: {scene_pool.shape}", flush=True)
+
+        def get_scenes(key):
+            k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+            img = scene_pool[jax.random.randint(k0, (B,), 0, pool_n)]
+            flip = jax.random.bernoulli(k1, 0.5, (B, 1, 1, 1))
+            img = jnp.where(flip, img[:, :, ::-1], img)
+            shift = jax.random.randint(k2, (B, 2), -S // 6, S // 6 + 1)
+            img = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(img, shift)
+            gain = jax.random.uniform(k3, (B, 1, 1, 3), minval=0.7, maxval=1.3)
+            bias = jax.random.uniform(k4, (B, 1, 1, 3), minval=-0.15, maxval=0.15)
+            return jnp.clip(img * gain + bias, -1, 1)
+    else:
+        get_scenes = render_scenes
+
     def make_batch(key):
         """HR in [0, 1] (the checkpoint's native domain) + LR 4x box-down."""
         k1, k2, k3 = jax.random.split(key, 3)
-        scene = sd.compose_scene(k1, model, assets, B, S)
+        scenes = get_scenes(k1)
         plates = sd.synth_background(k2, B, S)
         use_scene = jax.random.bernoulli(k3, 0.7, (B, 1, 1, 1))
-        hr = jnp.where(use_scene, scene.img, plates) * 0.5 + 0.5
+        hr = jnp.where(use_scene, scenes, plates) * 0.5 + 0.5
         lr = jax.lax.reduce_window(
             hr, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0
         return hr, lr
@@ -97,6 +133,13 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    def save(params):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        f16 = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+            else np.asarray(v), params)
+        save_params(args.out, f16)
+
     key = jax.random.PRNGKey(77)
     t0 = time.perf_counter()
     for step in range(args.steps):
@@ -105,6 +148,8 @@ def main():
         if step % max(args.steps // 10, 1) == 0 or step == args.steps - 1:
             print(json.dumps({"step": step, "l1": round(float(loss), 5)}),
                   flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save(params)
 
     # holdout: PSNR of the net vs bilinear upsample on fresh scenes
     hr, lr = jax.jit(make_batch)(jax.random.PRNGKey(31337))
@@ -120,11 +165,7 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    f16 = jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
-        else np.asarray(v), params)
-    save_params(args.out, f16)
+    save(params)
     result["out"] = args.out
     print(json.dumps(result))
 

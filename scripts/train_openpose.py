@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="pre-render this many scenes once and augment per "
+                         "step (color jitter + small shifts) instead of "
+                         "rendering every step — for CPU hosts where the "
+                         "per-step SMPL render dominates. 0 = render fresh "
+                         "scenes each step (the TPU default).")
+    ap.add_argument("--save_every", type=int, default=300,
+                    help="checkpoint cadence in steps (0 = only at the end)")
     args = ap.parse_args()
 
     import jax
@@ -78,16 +86,54 @@ def main():
             REPO, "assets",
             "mobilenet_openpose.npz" if mobile else "openpose.npz")
 
-    def make_batch(key):
+    def render_scene(key):
         sb = sd.compose_scene(key, model, assets, batch=B, size=S)
         x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear")
+        return x, sb.j2d
+
+    def finish_batch(key, x, j2d):
+        """Targets + runner input scaling (+ pool-mode augmentation)."""
+        if args.pool:
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            # small joint-consistent shift: roll pixels, offset normalized j2d
+            shift = jax.random.randint(k1, (B, 2), -IN // 12, IN // 12 + 1)
+            x = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(x, shift)
+            j2d = j2d + 2.0 * shift[:, None, ::-1].astype(jnp.float32) / IN
+            # target-free appearance jitter
+            gain = jax.random.uniform(k2, (B, 1, 1, 3), minval=0.7, maxval=1.3)
+            bias = jax.random.uniform(k3, (B, 1, 1, 3), minval=-0.15, maxval=0.15)
+            x = jnp.clip(x * gain + bias
+                         + 0.02 * jax.random.normal(k4, x.shape), -1, 1)
         if mobile:  # MobilenetOpenPoseRunner scaling: BGR, (pix-128)/256
             x = x[..., ::-1] * 0.5
-            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets_coco18(sb.j2d, HM)
+            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets_coco18(j2d, HM)
         else:  # OpenPoseRunner scaling
             x = x * 0.5
-            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets(sb.j2d, HM)
-        return x, hm_t, paf_t, hm_w, paf_w, sb.j2d
+            hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets(j2d, HM)
+        return x, hm_t, paf_t, hm_w, paf_w, j2d
+
+    if args.pool:
+        render_scene = jax.jit(render_scene)
+        pool_n = max(args.pool, B)
+        xs, js = [], []
+        pk = jax.random.PRNGKey(808)
+        for _ in range(-(-pool_n // B)):
+            pk, sub = jax.random.split(pk)
+            xc, jc = render_scene(sub)
+            xs.append(xc), js.append(jc)
+        x_pool = jnp.concatenate(xs, axis=0)[:pool_n]
+        j_pool = jnp.concatenate(js, axis=0)[:pool_n]
+        print(f"scene pool ready: {x_pool.shape}", flush=True)
+
+        def make_batch(key):
+            k0, k1 = jax.random.split(key)
+            idx = jax.random.randint(k0, (B,), 0, pool_n)
+            return finish_batch(k1, x_pool[idx], j_pool[idx])
+    else:
+        def make_batch(key):
+            k0, k1 = jax.random.split(key)
+            x, j2d = render_scene(k0)
+            return finish_batch(k1, x, j2d)
 
     if mobile:
         from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPose
@@ -121,6 +167,13 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
+    def save(params):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        f16 = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+            else np.asarray(v), params)
+        save_params(args.out, f16)
+
     key = jax.random.PRNGKey(321)
     t0 = time.perf_counter()
     for step in range(args.steps):
@@ -130,6 +183,8 @@ def main():
             print(json.dumps({"step": step, "loss": round(float(loss), 5),
                               **{k: round(float(v), 5) for k, v in aux.items()}}),
                   flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save(params)
 
     # holdout: decode px error over supervised joints. Out-of-frame GT joints
     # are excluded (their gaussians are clipped off the heatmap — nothing to
@@ -158,11 +213,7 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    f16 = jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
-        else np.asarray(v), params)
-    save_params(args.out, f16)
+    save(params)
     result["out"] = args.out
     print(json.dumps(result))
 

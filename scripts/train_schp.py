@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "schp.npz"))
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--pool", type=int, default=48,
+                    help="pre-rendered part-map pool size (the per-step SMPL "
+                         "render dominates step cost on CPU; clothing flips, "
+                         "palette, background and shading stay fresh per step)")
+    ap.add_argument("--save_every", type=int, default=200,
+                    help="checkpoint cadence in steps (0 = only at the end)")
     args = ap.parse_args()
 
     import jax
@@ -90,12 +96,35 @@ def main():
     part_lut = jnp.asarray(PART_TO_LIP)
     face_parts = jnp.asarray(assets.face_parts)
 
+    # Pre-render a pool of part maps once; per-step cost drops to the net
+    # fwd/bwd. Horizontal flips swap the left/right part ids so the LIP
+    # left/right classes stay correct.
+    def render_pmap_chunk(key):
+        theta = sd.make_theta(key, B)
+        fim = sd.render_fim(model, theta, S, f2uvs=assets.f2uvs)
+        return jnp.where(fim >= 0, face_parts[jnp.maximum(fim, 0)], 11)
+
+    render_pmap_chunk = jax.jit(render_pmap_chunk)
+    pool_n = max(args.pool, B)
+    chunks = []
+    pk = jax.random.PRNGKey(606)
+    for _ in range(-(-pool_n // B)):
+        pk, sub = jax.random.split(pk)
+        chunks.append(render_pmap_chunk(sub))
+    pmap_pool = jnp.concatenate(chunks, axis=0)[:pool_n]  # (P, S, S) int
+    print(f"part-map pool ready: {pmap_pool.shape}", flush=True)
+    # 11-part scheme L/R pairs: legs (2,3), arms (4,5), feet (6,7), hands (8,9)
+    flip_lut = jnp.asarray([0, 1, 3, 2, 5, 4, 7, 6, 9, 8, 10, 11], jnp.int32)
+
     def make_batch(key):
         """Procedural clothed scenes + exact LIP label maps."""
-        keys = jax.random.split(key, 11)
-        theta = sd.make_theta(keys[0], B)
-        fim = sd.render_fim(model, theta, S, f2uvs=assets.f2uvs)
-        pmap = jnp.where(fim >= 0, face_parts[jnp.maximum(fim, 0)], 11)  # (B,S,S)
+        keys = jax.random.split(key, 14)
+        idx = jax.random.randint(keys[11], (B,), 0, pool_n)
+        pmap = pmap_pool[idx]
+        flip = jax.random.bernoulli(keys[12], 0.5, (B, 1, 1))
+        pmap = jnp.where(flip, flip_lut[pmap[:, :, ::-1]], pmap)
+        shift = jax.random.randint(keys[13], (B, 2), -S // 8, S // 8 + 1)
+        pmap = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(pmap, shift)
         label = part_lut[pmap]
         fg = pmap < 11
 
@@ -177,6 +206,13 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, acc
 
+    def save(params):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        f16 = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
+            else np.asarray(v), params)
+        save_params(args.out, f16)
+
     key = jax.random.PRNGKey(404)
     t0 = time.perf_counter()
     for step in range(args.steps):
@@ -185,6 +221,8 @@ def main():
         if step % max(args.steps // 20, 1) == 0 or step == args.steps - 1:
             print(json.dumps({"step": step, "ce": round(float(loss), 4),
                               "pix_acc": round(float(acc), 4)}), flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            save(params)
 
     # holdout: mIoU + skirt-detection rate through the production runner path
     img, label, skirted = jax.jit(make_batch)(jax.random.PRNGKey(5150))
@@ -203,11 +241,7 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    f16 = jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
-        else np.asarray(v), params)
-    save_params(args.out, f16)
+    save(params)
     result["out"] = args.out
     print(json.dumps(result))
 
