@@ -164,6 +164,10 @@ def boundary_fill(
     Static-shape replacement for the reference's top-k nearest-boundary fill
     (`make_morph_image`, `flowcomposition.py:296-386`): each iteration fills
     unknown target pixels with the 3x3 average of already-known neighbours.
+    Each iteration extends the filled front by 1 px (Chebyshev), so `iters`
+    must be >= the widest ring; callers with a morphology-defined ring should
+    size it via the kernel radii (see `make_morph_image`), matching the
+    reference's guarantee that every ring pixel is assigned.
 
     Args:
         img: (N, S, S, 3); known: (N, S, S, 1) 1=trusted pixel;
@@ -192,6 +196,16 @@ def boundary_fill(
     return out
 
 
+def morph_fill_iters(comp: FlowComposer) -> int:
+    """Iterations needed for `boundary_fill` to reach every pixel of the
+    uncertain ring: the ring is at most `out_dilate_ks//2` px of dilation
+    beyond the union silhouette plus `conf_erode_ks//2` px of erosion inside
+    it; one extra iteration absorbs raster aliasing at the silhouette edge.
+    The reference's top-k nearest fill (`flowcomposition.py:296-386`) assigns
+    EVERY ring pixel regardless of distance — this keeps that guarantee."""
+    return comp.out_dilate_ks // 2 + comp.conf_erode_ks // 2 + 2
+
+
 def make_morph_image(comp: FlowComposer, src_img: jnp.ndarray, src_info: dict) -> jnp.ndarray:
     """Confident-silhouette image with the uncertain ring filled —
     `make_morph_image` (`flowcomposition.py:335-386`).
@@ -200,7 +214,7 @@ def make_morph_image(comp: FlowComposer, src_img: jnp.ndarray, src_info: dict) -
     confidant = src_info["confidant_sil"]
     outpad = src_info["outpad_sil"]
     uncertain = jnp.clip(outpad * (1.0 - confidant), 0.0, 1.0)
-    return boundary_fill(src_img, confidant, uncertain)
+    return boundary_fill(src_img, confidant, uncertain, iters=morph_fill_iters(comp))
 
 
 # ---------------------------------------------------------------------------

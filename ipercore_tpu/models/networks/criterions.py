@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ipercore_tpu.ops.sampling import resize_image
-from ipercore_tpu.models.networks.blocks import PAD3
+from ipercore_tpu.models.networks.blocks import PAD3, FrozenBatchNorm
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +62,22 @@ class VGGFeatures(nn.Module):
         return feats
 
 
+# VGG16 / VGG11 slice layouts (`vggloss.py:120-258`): the same 5-block
+# pyramid with the torchvision conv counts of each architecture.
+_VGG16_SLICES = (
+    (64, 64), (128, 128), (256, 256, 256), (512, 512, 512), (512, 512, 512))
+_VGG11_SLICES = ((64,), (128,), (256, 256), (512, 512), (512, 512))
+
+_VGG_SLICES_BY_TYPE = {
+    "VGG19": _VGG19_SLICES, "VGG16": _VGG16_SLICES, "VGG11": _VGG11_SLICES}
+
+
+def build_vgg(vgg_type: str = "VGG19") -> VGGFeatures:
+    """Perceptual feature net by config name — `VGGLoss.__init__`
+    (`vggloss.py:262-270`) dispatches VGG19/VGG16/VGG11 the same way."""
+    return VGGFeatures(slices=_VGG_SLICES_BY_TYPE[vgg_type])
+
+
 # weights per slice, `vggloss.py:310` ([1/32, 1/16, 1/8, 1/4, 1])
 VGG_SLICE_WEIGHTS = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
 
@@ -76,16 +92,40 @@ DEFAULT_VGG_WEIGHTS = os.path.join(
     "assets", "vgg_perceptual.npz")
 
 
-def init_vgg_params(rng, image_size: int, weights_path: str = None):
-    """VGGFeatures params: trained checkpoint when present, else random init."""
-    path = weights_path or DEFAULT_VGG_WEIGHTS
-    net = VGGFeatures()
+def init_vgg_params(rng, image_size: int, weights_path: str = None,
+                    net: "VGGFeatures" = None):
+    """VGGFeatures params: trained checkpoint when present, else random init.
+
+    The shipped `assets/vgg_perceptual.npz` matches the VGG19 slice layout;
+    VGG16/VGG11 variants (pass `net=build_vgg(...)`) load only from an
+    explicitly supplied `weights_path`."""
+    if net is None:
+        net = VGGFeatures()
+    path = weights_path or (
+        DEFAULT_VGG_WEIGHTS if tuple(net.slices) == _VGG19_SLICES else None)
     params = jax.jit(net.init)(rng, jnp.zeros((1, image_size, image_size, 3)))
-    if os.path.exists(path):
+    if path and os.path.exists(path):
         from ipercore_tpu.utils.checkpoint import load_params
 
         params = load_params(path, like=params)
     return params
+
+
+def init_face_params(rng, face_loss_path: str = "sphere20a"):
+    """Face net + params by config path — `FaceLoss.__init__`
+    (`faceloss.py:291-311`). Loads `.npz` weights when the path exists
+    (converted torch checkpoints via `torch_convert.convert_sphereface` /
+    `convert_senet50`); otherwise fixed random features.
+
+    Returns (module, params, (height, width))."""
+    net, hw = build_face_net(face_loss_path)
+    params = jax.jit(net.init)(rng, jnp.zeros((1, hw[0], hw[1], 3)))
+    if face_loss_path and os.path.exists(face_loss_path) and \
+            face_loss_path.endswith(".npz"):
+        from ipercore_tpu.utils.checkpoint import load_params
+
+        params = load_params(face_loss_path, like=params)
+    return net, params, hw
 
 
 def perceptual_loss(feat_params, apply_fn, pred: jnp.ndarray, target: jnp.ndarray,
@@ -169,28 +209,118 @@ class SphereFaceFeatures(nn.Module):
         return feats
 
 
+# per-level weights, `faceloss.py:302` — shared by Sphere20a and SENet-50
+FACE_SLICE_WEIGHTS = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+
+
 def face_loss(face_params, apply_fn, pred: jnp.ndarray, target: jnp.ndarray,
               pred_bbox: jnp.ndarray | None = None,
-              target_bbox: jnp.ndarray | None = None) -> jnp.ndarray:
-    """L1 over SphereFace feature levels of head crops — `faceloss.py:289`.
+              target_bbox: jnp.ndarray | None = None,
+              hw: tuple[int, int] = (112, 96),
+              weights: Sequence[float] = FACE_SLICE_WEIGHTS) -> jnp.ndarray:
+    """Weighted L1 over face-net feature levels of head crops —
+    `FaceLoss.compute_loss` (`faceloss.py:362-378`, weights `faceloss.py:302`).
 
-    Crops are (N, 4) normalized NDC bboxes; when None the full image is resized.
+    Crops are (N, 4) normalized NDC bboxes; when None the full image is
+    resized. `hw` is (112, 96) for Sphere20a, (224, 224) for SENet-50
+    (`faceloss.py:291-299`).
     """
     from ipercore_tpu.models.networks.discriminators import crop_by_bbox
 
     def prep(img, bbox):
         if bbox is not None:
-            img = crop_by_bbox(img, bbox, (112, 96))
+            img = crop_by_bbox(img, bbox, hw)
         else:
-            img = resize_image(img, 112, 96)
+            img = resize_image(img, hw[0], hw[1])
         return img
 
     fp = apply_fn(face_params, prep(pred, pred_bbox))
     ft = apply_fn(face_params, prep(jax.lax.stop_gradient(target), target_bbox))
     loss = 0.0
-    for a, b in zip(fp, ft):
-        loss = loss + jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
-    return loss / len(fp)
+    for w, a, b in zip(weights, fp, ft):
+        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# SENet-50 face identity variant (`faceloss.py:70-206`, VGGFace2 senet50)
+# ---------------------------------------------------------------------------
+
+
+class SEBottleneck(nn.Module):
+    """`faceloss.py:70-121` Bottleneck: 1x1(stride)-3x3-1x1 with an SE gate
+    (global-avgpool -> conv4 1x1 -> relu -> conv5 1x1 -> sigmoid) multiplied
+    onto the residual branch before the skip add."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    compress_rate: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                      use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=PAD3, use_bias=False,
+                      name="conv2")(out)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+
+        gate = jnp.mean(out, axis=(1, 2), keepdims=True)
+        gate = nn.Conv(self.planes * 4 // self.compress_rate, (1, 1),
+                       name="conv4")(gate)
+        gate = nn.relu(gate)
+        gate = nn.Conv(self.planes * 4, (1, 1), name="conv5")(gate)
+        gate = nn.sigmoid(gate)
+
+        if self.downsample:
+            x = nn.Conv(self.planes * 4, (1, 1),
+                        strides=(self.stride, self.stride), use_bias=False,
+                        name="downsample_conv")(x)
+            x = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(x)
+        return nn.relu(gate * out + x)
+
+
+class SENetFaceFeatures(nn.Module):
+    """EXACT SENet-50 trunk — `faceloss.py:125-206` (`senet50`, layers
+    [3, 4, 6, 3], include_top=False): 7x7/2 stem + ceil-mode 3x3/2 maxpool,
+    then 4 SE-bottleneck stages. Emits the reference's 5 per-stage feature
+    maps [x0..x4]. Input: (N, 224, 224, 3)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(64, name="bn1")(x))
+        # torch MaxPool2d(3, 2, padding=0, ceil_mode=True): pad only the
+        # bottom/right edge (flax pads max_pool with -inf).
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        feats = [x]
+        inplanes = 64
+        for li, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers), start=1):
+            stride = 1 if li == 1 else 2
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                down = bi == 0 and (s != 1 or inplanes != planes * 4)
+                x = SEBottleneck(planes, stride=s, downsample=down,
+                                 name=f"layer{li}_{bi}")(x)
+                inplanes = planes * 4
+            feats.append(x)
+        return feats
+
+
+def build_face_net(face_loss_path: str = "sphere20a"):
+    """Face net by checkpoint path — `FaceLoss.__init__` (`faceloss.py:291-299`)
+    selects SENet-50 @224x224 when the path mentions 'senet', else Sphere20a
+    @112x96. Returns (module, (height, width))."""
+    if "senet" in os.path.basename(face_loss_path).lower():
+        return SENetFaceFeatures(), (224, 224)
+    return SphereFaceFeatures(), (112, 96)
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,8 @@ class LWBGenerator(nn.Module):
         res_u = [unflat(x) for x in res_outs]
         if only_enc:
             return enc_u, res_u
-        img, mask = self.src_net.regress(self.src_net.decode(res_outs[-1]))
+        bottleneck = res_outs[-1] if res_outs else enc_outs[-1]
+        img, mask = self.src_net.regress(self.src_net.decode(bottleneck))
         return enc_u, res_u, unflat(img), unflat(mask)
 
     # --- BGNet --------------------------------------------------------------
@@ -206,12 +207,14 @@ class LWBGenerator(nn.Module):
 
         if self.fusion_mode != "none":
             warped_enc = [prewarp(f, Tst) for f in src_enc_outs]
-            res_cat = jnp.concatenate(src_res_outs, axis=-1)  # (bs, ns, h, w, c*k)
-            warped_res = jnp.split(prewarp(res_cat, Tst), len(src_res_outs), axis=-1)
+            if src_res_outs:  # n_res_block can be 0 (no residual stage)
+                res_cat = jnp.concatenate(src_res_outs, axis=-1)  # (bs, ns, h, w, c*k)
+                warped_res = jnp.split(prewarp(res_cat, Tst), len(src_res_outs), axis=-1)
             if use_temp:
                 warped_temp_enc = [prewarp(f, Ttt) for f in temp_enc_outs]
-                tres_cat = jnp.concatenate(temp_res_outs, axis=-1)
-                warped_temp_res = jnp.split(prewarp(tres_cat, Ttt), len(temp_res_outs), axis=-1)
+                if temp_res_outs:
+                    tres_cat = jnp.concatenate(temp_res_outs, axis=-1)
+                    warped_temp_res = jnp.split(prewarp(tres_cat, Ttt), len(temp_res_outs), axis=-1)
 
         x = tsf_inputs
         enc_outs = []

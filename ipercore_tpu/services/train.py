@@ -55,12 +55,15 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
                           temporal=bool(opt.get("temporal", False)))
     dis = build_discriminator(opt.get("dis_name", "patch_global_body_head"),
                               opt.Discriminator, use_aug_bg=aug_bg)
-    vgg = C.VGGFeatures()
-    vgg_params = C.init_vgg_params(jax.random.PRNGKey(1), S)
-    face = C.SphereFaceFeatures()
-    face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
-
     tr = opt.Train
+    # `--use_vgg` picks VGG19/VGG16/VGG11 (`lwg_trainer.py:153`, vggloss
+    # dispatch `vggloss.py:262-270`); `--face_loss_path` picks Sphere20a vs
+    # SENet-50 by name (`faceloss.py:291-299`).
+    vgg = C.build_vgg(str(tr.get("use_vgg", "VGG19")))
+    vgg_params = C.init_vgg_params(
+        jax.random.PRNGKey(1), S, weights_path=tr.get("vgg_loss_path"), net=vgg)
+    face, face_params, face_hw = C.init_face_params(
+        jax.random.PRNGKey(2), str(tr.get("face_loss_path", "sphere20a")))
     cfg = T.TrainConfig(
         lambda_rec=float(tr.lambda_rec), lambda_tsf=float(tr.lambda_tsf),
         lambda_face=float(tr.lambda_face), lambda_mask=float(tr.lambda_mask),
@@ -68,6 +71,7 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
         lambda_d_prob=float(tr.lambda_D_prob),
         lr_g=float(tr.lr_G), lr_d=float(tr.lr_D),
         use_face=bool(tr.use_face),
+        face_hw=face_hw,
         aug_bg=aug_bg,
         temporal=bool(opt.get("temporal", False)),
         niters_no_decay=int(tr.get("niters_or_epochs_no_decay", 0)),

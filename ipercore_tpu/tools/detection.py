@@ -137,6 +137,242 @@ class PersonDetector:
         return out
 
 
+class SegmentationDetector:
+    """Person boxes from the trained PersonSegUNet (`tools/mattors.py`) —
+    works on SINGLE STILL IMAGES and moving cameras, where the
+    median-background model cannot. This is the repo's counterpart of the
+    reference's detection-by-instance-segmentation design
+    (`point_render_parser.py:29-130` drives boxes from PointRend masks).
+    """
+
+    def __init__(self, mattor=None, work: int = 256, min_area_frac: float = 0.005):
+        self._mattor = mattor
+        self.work = work
+        self.min_area_frac = min_area_frac
+
+    @property
+    def mattor(self):
+        if self._mattor is None:
+            from ipercore_tpu.tools.mattors import HumanMattor
+
+            self._mattor = HumanMattor(image_size=self.work)
+        return self._mattor
+
+    @property
+    def available(self) -> bool:
+        """True when trained segmentation weights are loaded."""
+        return bool(self.mattor.trained)
+
+    def run_masks(self, frames: np.ndarray) -> np.ndarray:
+        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) bool masks."""
+        import jax.numpy as jnp
+        import flax.linen as nn
+
+        small = _resize(frames, self.work)
+        m = self.mattor
+        prob = np.asarray(nn.sigmoid(m._seg(m.seg_params, jnp.asarray(small))))
+        return np.stack([_clean(prob[i, ..., 0] > 0.5) for i in range(len(frames))])
+
+    def run(self, frames: np.ndarray) -> list[np.ndarray]:
+        """frames: (N, H, W, 3) in [-1, 1]. Returns per-frame (K, 4) xyxy
+        boxes in original coordinates (empty array when nothing fires)."""
+        H, W = frames.shape[1], frames.shape[2]
+        masks = self.run_masks(frames)
+        min_area = max(int(self.min_area_frac * self.work * self.work), 8)
+        sx, sy = W / self.work, H / self.work
+        out = []
+        for i in range(len(frames)):
+            boxes = connected_component_boxes(masks[i], min_area=min_area)
+            if len(boxes):
+                boxes = boxes * np.asarray([sx, sy, sx, sy], np.float32)
+            out.append(boxes)
+        return out
+
+
+def color_model_person_mask(img: np.ndarray, iters: int = 3,
+                            bins: int = 12, center_frac: float = 0.5,
+                            border_frac: float = 0.08) -> np.ndarray:
+    """Person mask for a SINGLE STILL image from iterated foreground/background
+    color models (GrabCut-style, histogram likelihoods instead of GMMs):
+    borders seed the background model, the center box seeds the foreground,
+    and 2-3 likelihood-ratio reassignment rounds tighten both. Domain-
+    independent — no learned weights, so it works on photographs regardless
+    of the perception nets' training domain.
+
+    Args: img (H, W, 3) in [-1, 1] (any H=W work resolution).
+    Returns: (H, W) bool mask.
+    """
+    h, w = img.shape[:2]
+    q = np.clip(((img + 1.0) * 0.5 * bins).astype(np.int32), 0, bins - 1)
+    qidx = (q[..., 0] * bins + q[..., 1]) * bins + q[..., 2]  # (h, w)
+    nq = bins ** 3
+
+    by, bx = int(h * border_frac) + 1, int(w * border_frac) + 1
+    border = np.zeros((h, w), bool)
+    border[:by] = border[-by:] = True
+    border[:, :bx] = border[:, -bx:] = True
+    cy0, cy1 = int(h * (1 - center_frac) / 2), int(h * (1 + center_frac) / 2)
+    cx0, cx1 = int(w * (1 - center_frac) / 2), int(w * (1 + center_frac) / 2)
+    center = np.zeros((h, w), bool)
+    center[cy0:cy1, cx0:cx1] = True
+
+    fg_mask, bg_mask = center, border
+    eps = 1.0
+    mask = center.copy()
+    for _ in range(iters):
+        fg_hist = np.bincount(qidx[fg_mask], minlength=nq).astype(np.float64)
+        bg_hist = np.bincount(qidx[bg_mask], minlength=nq).astype(np.float64)
+        fg_p = (fg_hist + eps) / (fg_hist.sum() + eps * nq)
+        bg_p = (bg_hist + eps) / (bg_hist.sum() + eps * nq)
+        llr = np.log(fg_p[qidx]) - np.log(bg_p[qidx])
+        mask = _clean(llr > 0.0)
+        # anchor: borders stay background, keep only components that touch
+        # the center seed region
+        mask &= ~border
+        comp_boxes = connected_component_boxes(mask, min_area=16)
+        keep = np.zeros_like(mask)
+        for x0, y0, x1, y1 in comp_boxes.astype(int):
+            if x1 > cx0 and x0 < cx1 and y1 > cy0 and y0 < cy1:
+                sub = np.zeros_like(mask)
+                sub[y0:y1, x0:x1] = True
+                keep |= mask & sub
+        mask = keep
+        if not mask.any():
+            return center
+        fg_mask = mask
+        bg_mask = border | (~_clean(mask, it=2) & ~center)
+    return mask
+
+
+def mask_is_compact(mask: np.ndarray,
+                    min_area_frac: float = 0.04,
+                    max_area_frac: float = 0.85,
+                    min_fill: float = 0.45) -> bool:
+    """Sanity gate for a person mask: plausible area fraction, the largest
+    component fills a solid share of its own bounding box (person
+    silhouettes fill ~0.45-0.65; sprawling noise blobs ~0.3), and the box
+    localizes SOMETHING (a both-axes-full-frame box carries no information —
+    the caller's full-frame fallback equals it). A segmenter firing on
+    'everything' or on scattered noise fails this."""
+    h, w = mask.shape
+    area = mask.sum()
+    if not (min_area_frac * h * w <= area <= max_area_frac * h * w):
+        return False
+    boxes = connected_component_boxes(mask, min_area=16)
+    if not len(boxes):
+        return False
+    areas = [(b[2] - b[0]) * (b[3] - b[1]) for b in boxes]
+    big = boxes[int(np.argmax(areas))]
+    x0, y0, x1, y1 = big.astype(int)
+    if (x1 - x0) >= 0.95 * w and (y1 - y0) >= 0.95 * h:
+        return False
+    comp = mask[y0:y1, x0:x1]
+    if comp.mean() < min_fill:
+        return False
+    # the largest component must own most of the foreground
+    return comp.sum() >= 0.6 * area
+
+
+def still_person_boxes(frames: np.ndarray, work: int = 192) -> list[np.ndarray]:
+    """Per-frame person boxes for stills via the iterated color model.
+    frames: (N, H, W, 3) in [-1, 1] -> list of (K, 4) xyxy original coords."""
+    n, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    small = _resize(frames, work)
+    sx, sy = W / work, H / work
+    out = []
+    for i in range(n):
+        mask = color_model_person_mask(small[i])
+        boxes = connected_component_boxes(mask, min_area=32)
+        if len(boxes):
+            boxes = boxes * np.asarray([sx, sy, sx, sy], np.float32)
+        out.append(boxes)
+    return out
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return float(inter / max(ua, 1e-6))
+
+
+def _track_per_frame(per_frame: list[np.ndarray],
+                     min_hits: int) -> Optional[np.ndarray]:
+    """MaxBoxTracker over per-frame candidate boxes -> (N, 4) or None."""
+    n_hit = sum(1 for b in per_frame if len(b))
+    if n_hit < min_hits:
+        return None
+    tracker = MaxBoxTracker()
+    picked = [tracker(boxes) for boxes in per_frame]
+    first = next((i for i, b in enumerate(picked) if b is not None), None)
+    if first is None:
+        return None
+    for i in range(len(picked)):
+        if picked[i] is None:
+            picked[i] = picked[first if i < first else i - 1]
+    return np.stack(picked).astype(np.float32)
+
+
+def detect_person_boxes(
+    frames: np.ndarray,
+    seg_detector: Optional[SegmentationDetector] = None,
+) -> tuple[Optional[np.ndarray], str]:
+    """Stage-1.1 person localization with explicit provenance.
+
+    Candidate sources, each gated by its own sanity check:
+      * median-background tracker (videos, static camera);
+      * trained PersonSegUNet masks, accepted only when COMPACT
+        (`mask_is_compact` rejects all-fired / scattered outputs — the
+        failure mode of out-of-domain weights on photographs);
+      * iterated color-model (GrabCut-lite) — domain-independent, works on
+        single stills; used as fallback and as the cross-check signal.
+
+    Role of `base_preprocessor._execute_detector:167` + PointRend boxes
+    (`point_render_parser.py:29-130`).
+
+    Returns:
+        (boxes (N, 4) or None, method): method names the winning source,
+        "none" when every source declined (caller uses the full frame).
+    """
+    seg = seg_detector or SegmentationDetector()
+    min_hits = max(1, len(frames) // 2)
+    tracked = track_person_boxes(frames)
+
+    seg_boxes = None
+    if seg.available:
+        masks = seg.run_masks(frames)
+        if sum(mask_is_compact(m) for m in masks) >= min_hits:
+            H, W = frames.shape[1], frames.shape[2]
+            s = np.asarray([W / seg.work, H / seg.work] * 2, np.float32)
+            per_frame = [
+                connected_component_boxes(m, min_area=32) * s if m.any()
+                else np.zeros((0, 4), np.float32)
+                for m in masks]
+            seg_boxes = _track_per_frame(per_frame, min_hits)
+
+    if tracked is not None and seg_boxes is not None:
+        # cross-check the union boxes (Weak#5: a moving camera smears the
+        # median background into confidently wrong boxes; a compact
+        # segmentation that disagrees wins)
+        def union(a):
+            return np.asarray([a[:, 0].min(), a[:, 1].min(),
+                               a[:, 2].max(), a[:, 3].max()])
+
+        if _iou(union(tracked), union(seg_boxes)) < 0.3:
+            return seg_boxes, "person_seg"
+        return tracked, "median_bg+person_seg"
+    if tracked is not None:
+        return tracked, "median_bg"
+    if seg_boxes is not None:
+        return seg_boxes, "person_seg"
+
+    cm_boxes = _track_per_frame(still_person_boxes(frames), min_hits)
+    if cm_boxes is not None:
+        return cm_boxes, "color_model"
+    return None, "none"
+
+
 def track_person_boxes(frames: np.ndarray,
                        detector: Optional[PersonDetector] = None,
                        min_valid_frac: float = 0.5) -> Optional[np.ndarray]:

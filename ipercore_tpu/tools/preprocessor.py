@@ -143,17 +143,25 @@ class Preprocessor:
 
         # --- 1.1 + 1.2: detect + crop ----------------------------------
         if not info.has_run("cropper"):
-            from ipercore_tpu.tools.detection import track_person_boxes
+            from ipercore_tpu.tools.detection import (
+                SegmentationDetector, detect_person_boxes, track_person_boxes)
 
             names, geoms = [], []
             frames = np.stack([vid.load_image(p) for p in frame_paths])
             H, W = frames.shape[1:3]
 
-            # 1.1: person detection (median-background foreground segmenter
-            # feeding MaxBoxTracker — `_execute_detector:167`); falls back to
-            # the full frame when detection is unreliable (single image /
-            # moving camera).
-            tracked = track_person_boxes(frames)
+            # 1.1: person detection — median-background tracker for static
+            # video, the trained PersonSegUNet for stills / moving cameras,
+            # with cross-checking and recorded provenance
+            # (`_execute_detector:167` + PointRend boxes
+            # `point_render_parser.py:29-130`). Full-frame is the last resort.
+            if self.smoke:
+                tracked, method = track_person_boxes(frames), "median_bg"
+                if tracked is None:
+                    method = "none"
+            else:
+                tracked, method = detect_person_boxes(
+                    frames, seg_detector=SegmentationDetector())
             if tracked is not None:
                 active_box = None
                 for b in tracked:
@@ -174,7 +182,7 @@ class Preprocessor:
             if tracked is not None:
                 info.set_array("person_boxes", tracked.astype(np.float32))
             info.mark_run("detector", n_frames=len(names),
-                          detected=bool(tracked is not None))
+                          detected=bool(tracked is not None), method=method)
             info.mark_run("cropper", box=[float(v) for v in box])
             info.serialize()
 

@@ -49,6 +49,9 @@ class TrainConfig(NamedTuple):
     lr_g: float = 1e-4
     lr_d: float = 1e-4
     use_face: bool = True
+    # face-net crop size: (112, 96) Sphere20a, (224, 224) SENet-50
+    # (`faceloss.py:291-299`)
+    face_hw: tuple = (112, 96)
     use_gan: bool = True
     aug_bg: bool = False
     temporal: bool = False
@@ -299,7 +302,8 @@ def train_step(
 
         if cfg.use_face:
             loss_face = C.face_loss(face_params, face.apply, flat_tsf, real_tsf,
-                                    head_bbox, head_bbox) * cfg.lambda_face
+                                    head_bbox, head_bbox,
+                                    hw=cfg.face_hw) * cfg.lambda_face
         else:
             loss_face = 0.0
 
@@ -422,7 +426,8 @@ def eval_step(
     loss_tsf = C.perceptual_loss(vgg_params, vgg.apply, flat_tsf, real_tsf) * cfg.lambda_tsf
     if cfg.use_face:
         loss_face = C.face_loss(face_params, face.apply, flat_tsf, real_tsf,
-                                head_bbox, head_bbox) * cfg.lambda_face
+                                head_bbox, head_bbox,
+                                hw=cfg.face_hw) * cfg.lambda_face
     else:
         loss_face = jnp.zeros(())
     if cfg.use_gan:

@@ -320,6 +320,69 @@ def convert_vgg19(sd: dict, like) -> tuple[dict, list[str]]:
     return _finish(tree, params), report
 
 
+# torchvision vgg16 / vgg11 .features conv indices (relu/pool carry no params)
+_VGG16_CONV_IDS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG11_CONV_IDS = (0, 3, 6, 8, 11, 13, 16, 18)
+
+
+def _convert_vgg_generic(sd: dict, like, conv_ids, slices) -> tuple[dict, list[str]]:
+    sd = _normalize_sd(sd)
+    sd = {k[len("vgg."):] if k.startswith("vgg.") else k: v for k, v in sd.items()}
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    flat = 0
+    for si, widths in enumerate(slices):
+        for wi, _ in enumerate(widths):
+            _put_conv(sd, params, f"features.{conv_ids[flat]}",
+                      [f"conv{si}_{wi}"], report)
+            flat += 1
+    return _finish(tree, params), report
+
+
+def convert_vgg16(sd: dict, like) -> tuple[dict, list[str]]:
+    """torchvision `vgg16` state dict -> `criterions.build_vgg('VGG16')`
+    params (`vggloss.py:120-186`)."""
+    from ipercore_tpu.models.networks.criterions import _VGG16_SLICES
+
+    return _convert_vgg_generic(sd, like, _VGG16_CONV_IDS, _VGG16_SLICES)
+
+
+def convert_vgg11(sd: dict, like) -> tuple[dict, list[str]]:
+    """torchvision `vgg11` state dict -> `criterions.build_vgg('VGG11')`
+    params (`vggloss.py:190-258`)."""
+    from ipercore_tpu.models.networks.criterions import _VGG11_SLICES
+
+    return _convert_vgg_generic(sd, like, _VGG11_CONV_IDS, _VGG11_SLICES)
+
+
+def convert_senet50(sd: dict, like) -> tuple[dict, list[str]]:
+    """VGGFace2 SENet-50 state dict (`faceloss.py:125-206`, senet50) ->
+    `criterions.SENetFaceFeatures` params.
+
+    Torch layout: conv1/bn1 stem; layer{L}.{i}.conv{1..5} + bn{1..3} +
+    optional downsample.{0,1}. SE gates are conv4/conv5 (1x1, biased)."""
+    sd = _normalize_sd(sd)
+    sd = {k[len("net."):] if k.startswith("net.") else k: v for k, v in sd.items()}
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    _put_conv(sd, params, "conv1", ["conv1"], report)
+    _put_bn(sd, params, "bn1", ["bn1"], report)
+    for li, blocks in enumerate((3, 4, 6, 3), start=1):
+        for bi in range(blocks):
+            t = f"layer{li}.{bi}"
+            f = [f"layer{li}_{bi}"]
+            for j in (1, 2, 3, 4, 5):
+                _put_conv(sd, params, f"{t}.conv{j}", f + [f"conv{j}"], report)
+            for j in (1, 2, 3):
+                _put_bn(sd, params, f"{t}.bn{j}", f + [f"bn{j}"], report)
+            if f"{t}.downsample.0.weight" in sd:
+                _put_conv(sd, params, f"{t}.downsample.0",
+                          f + ["downsample_conv"], report)
+                _put_bn(sd, params, f"{t}.downsample.1",
+                        f + ["downsample_bn"], report)
+    return _finish(tree, params), report
+
+
 def convert_openpose(sd: dict, like) -> tuple[dict, list[str]]:
     """OpenPose Body-25 torch checkpoint -> `tools.pose2d.OpenPoseBody25`.
 

@@ -98,6 +98,38 @@ def test_boundary_fill_fills_ring():
     np.testing.assert_allclose(out[0, :, 12:], 0.0, atol=1e-6)
 
 
+def test_morph_fill_covers_wide_ring_512():
+    """At the deploy default out_dilate_ks=51 the uncertain ring is up to
+    ~26 px wide at 512^2; every ring pixel must be assigned (the reference's
+    top-k nearest fill, `flowcomposition.py:296-386`, always assigns)."""
+    S2 = 512
+    model = smpl_mod.synthetic_model(nu=20, nv=18)
+    assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
+    comp = fc.make_composer(model, assets, image_size=S2, out_dilate_ks=51)
+
+    # Synthetic silhouette: a disc. confidant = erode(disc), ring = dilate(disc)
+    # minus confidant — exactly how render_smpl_info builds the masks.
+    yy, xx = np.mgrid[0:S2, 0:S2]
+    disc = (((yy - 256) ** 2 + (xx - 256) ** 2) < 120 ** 2).astype(np.float32)
+    sil = jnp.asarray(disc)[None, :, :, None]
+    from ipercore_tpu.ops.morphology import dilate, erode
+
+    confidant = erode(sil, comp.conf_erode_ks)
+    outpad = dilate(sil, comp.out_dilate_ks)
+    uncertain = np.asarray(jnp.clip(outpad * (1 - confidant), 0, 1))
+
+    img = jnp.asarray(np.full((1, S2, S2, 3), 0.5, np.float32))
+    out = np.asarray(fc.boundary_fill(
+        img, confidant, jnp.asarray(uncertain), iters=fc.morph_fill_iters(comp)))
+    ring = uncertain[0, ..., 0] > 0
+    # Every ring pixel filled with the diffused constant color => exactly 0.5.
+    assert ring.sum() > 0
+    np.testing.assert_allclose(out[0, ..., 0][ring], 0.5, atol=1e-3)
+    # And nothing outside confidant+ring is touched.
+    outside = np.asarray(1 - np.asarray(outpad))[0, ..., 0] > 0
+    np.testing.assert_allclose(out[0, ..., 0][outside], 0.0, atol=1e-6)
+
+
 def test_swapper_selected_f2pts_and_merge(composer):
     from ipercore_tpu.models.mesh import part_face_mask
 

@@ -190,3 +190,74 @@ def test_vgg19_conversion_zero_report():
     k0 = np.asarray(out["params"]["conv0_0"]["kernel"])
     np.testing.assert_allclose(
         k0, sd["features.0.weight"].transpose(2, 3, 1, 0), atol=0)
+
+
+def test_vgg16_vgg11_conversion_zero_report():
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.models.networks.criterions import build_vgg
+    from ipercore_tpu.utils.torch_convert import (
+        convert_vgg11, convert_vgg16, _VGG11_CONV_IDS, _VGG16_CONV_IDS)
+
+    cases = [
+        ("VGG16", convert_vgg16, _VGG16_CONV_IDS,
+         ((64, 64), (128, 128), (256,) * 3, (512,) * 3, (512,) * 3)),
+        ("VGG11", convert_vgg11, _VGG11_CONV_IDS,
+         ((64,), (128,), (256, 256), (512, 512), (512, 512))),
+    ]
+    for name, fn, ids, slices in cases:
+        net = build_vgg(name)
+        params = jax.jit(net.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        widths = [w for ws in slices for w in ws]
+        assert len(widths) == len(ids)
+        sd, cin = {}, 3
+        rng = np.random.RandomState(0)
+        for idx, w in zip(ids, widths):
+            sd[f"features.{idx}.weight"] = rng.randn(w, cin, 3, 3).astype(np.float32)
+            sd[f"features.{idx}.bias"] = rng.randn(w).astype(np.float32)
+            cin = w
+        out, report = fn(sd, params)
+        assert report == [], (name, report[:10])
+        k0 = np.asarray(out["params"]["conv0_0"]["kernel"])
+        np.testing.assert_allclose(
+            k0, sd["features.0.weight"].transpose(2, 3, 1, 0), atol=0)
+
+
+def test_senet50_matches_reference_torch():
+    """SENet-50 face-loss variant (`faceloss.py:125-206`): golden parity of
+    all 5 per-stage feature maps with converted random weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.models.networks.criterions import SENetFaceFeatures
+    from ipercore_tpu.utils.torch_convert import convert_senet50
+
+    ref = _load("ref_faceloss", "iPERCore/models/networks/criterions/faceloss.py")
+    torch.manual_seed(2)
+    oracle = ref.senet50(include_top=False).eval()
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x_t = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        outs_t = oracle(x_t, get_feat=True)
+
+    net = SENetFaceFeatures()
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    conv, report = convert_senet50(oracle.state_dict(), params)
+    assert report == [], report[:10]
+
+    x_j = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1)))
+    outs_j = net.apply(conv, x_j)
+    assert len(outs_j) == 5
+    for i, (t, j) in enumerate(zip(outs_t, outs_j)):
+        # deep trunk (53 convs): pure f32 accumulation-order noise reaches
+        # ~1e-3 on activations of magnitude ~20 by stage 4
+        np.testing.assert_allclose(
+            t.numpy(), np.transpose(np.asarray(j), (0, 3, 1, 2)),
+            rtol=2e-3, atol=2e-3, err_msg=f"stage {i}")
