@@ -1,12 +1,19 @@
 """Benchmark: frames/sec of 512x512 motion-imitation synthesis on one chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+plus context fields: "exact_semantics_fps" (f32, all accuracy knobs off),
+"model_tflops_per_frame" and "mfu" (XLA-costed FLOPs vs the chip's bf16 peak),
+"device"}.
 
 Baseline context (BASELINE.md): the reference's per-frame python loop on a
 V100 runs the AttLWB-SPADE pipeline (rasterize + flow + generator) serially;
 no official frames/sec is published, so `vs_baseline` is measured against a
 conservative V100 estimate of 4 fps at 512^2 (per-frame CUDA raster + generator
 forward + per-frame png writes, `iPERCore/models/imitator.py:328-397`).
+
+Headline config = bf16 generator compute + strided LWB feature warps
+(feat_warp_stride=2) + the library's resolution-default Tst stride; the
+accuracy cost of both knobs is measured in docs/BENCHMARKS.md (SSIM 0.9996).
 """
 from __future__ import annotations
 
@@ -21,6 +28,19 @@ FRAMES_PER_BATCH = 32
 WARMUP_BATCHES = 2
 BENCH_BATCHES = 5
 NS = 2
+
+# bf16 peak TFLOP/s per chip by device kind (public TPU specs; the MXU peak
+# the MFU denominator uses). Unknown kinds report mfu=null.
+PEAK_BF16_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
 def main():
@@ -55,9 +75,8 @@ def main():
         "SIDNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
         "TSFNet": {"num_filters": [64, 128, 256], "n_res_block": 6},
     }
-    # feat_warp_stride=2: strided LWB feature warps (accuracy cost measured by
-    # scripts/evaluate/accuracy_cost.py, table in docs/BENCHMARKS.md)
-    gen = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=2)
+    gen_fast = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=2)
+    gen_exact = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=1)
 
     rng = np.random.RandomState(0)
     S = SIZE
@@ -66,7 +85,7 @@ def main():
     tsf = jnp.zeros((1, 1, S, S, 6))
     Tst0 = jnp.zeros((1, 1, NS, S, S, 2))
     params = jax.jit(
-        lambda r: gen.init(r, bg, src_in, tsf, Tst0, None, False))(jax.random.PRNGKey(0))
+        lambda r: gen_fast.init(r, bg, src_in, tsf, Tst0, None, False))(jax.random.PRNGKey(0))
 
     src_img = jnp.asarray(rng.uniform(-1, 1, (1, NS, S, S, 3)), jnp.float32)
     theta = np.zeros((NS, 85), np.float32)
@@ -74,14 +93,9 @@ def main():
     theta[:, 3:75] = rng.randn(NS, 72).astype(np.float32) * 0.05
     src_smpl = jnp.asarray(theta).reshape(1, NS, 85)
     cache = jax.jit(
-        lambda p, si, ss: imit.setup_source(comp, gen, p, si, ss)
+        lambda p, si, ss: imit.setup_source(comp, gen_fast, p, si, ss)
     )(params, src_img, src_smpl)
     cache = jax.block_until_ready(cache)
-
-    @jax.jit
-    def run(params, cache, tgt):
-        return imit.synthesize_frames(comp, gen, params, cache, tgt,
-                                      compute_dtype=jnp.bfloat16)
 
     def make_batch(seed):
         r = np.random.RandomState(seed)
@@ -90,22 +104,57 @@ def main():
         t[:, 3:75] = r.randn(FRAMES_PER_BATCH, 72).astype(np.float32) * 0.1
         return jnp.asarray(t)
 
-    for i in range(WARMUP_BATCHES):
-        preds, masks = run(params, cache, make_batch(i))
-        jax.block_until_ready(preds)
+    def bench(run, n_warm=WARMUP_BATCHES, n_bench=BENCH_BATCHES):
+        for i in range(n_warm):
+            preds, _ = run(params, cache, make_batch(i))
+            np.asarray(preds[0, 0, 0, 0])  # force execution (axon gotcha)
+        t0 = time.perf_counter()
+        for i in range(n_bench):
+            preds, _ = run(params, cache, make_batch(100 + i))
+            np.asarray(preds[0, 0, 0, 0])
+        return n_bench * FRAMES_PER_BATCH / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for i in range(BENCH_BATCHES):
-        preds, masks = run(params, cache, make_batch(100 + i))
-        jax.block_until_ready(preds)
-    dt = time.perf_counter() - t0
+    @jax.jit
+    def run_fast(params, cache, tgt):
+        return imit.synthesize_frames(comp, gen_fast, params, cache, tgt,
+                                      compute_dtype=jnp.bfloat16)
 
-    fps = BENCH_BATCHES * FRAMES_PER_BATCH / dt
+    @jax.jit
+    def run_exact(params, cache, tgt):
+        # accuracy knobs OFF: f32, unstrided feature warps, dense Tst flows
+        return imit.synthesize_frames(comp, gen_exact, params, cache, tgt,
+                                      compute_dtype=None, tst_stride=1)
+
+    fps = bench(run_fast)
+    fps_exact = bench(run_exact, n_warm=1, n_bench=2)
+
+    # MFU: XLA's own FLOP count of the headline program vs chip bf16 peak.
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    tflops_per_frame = mfu = None
+    try:
+        cost = run_fast.lower(params, cache, make_batch(0)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            tflops_per_frame = flops / FRAMES_PER_BATCH / 1e12
+            peak = PEAK_BF16_TFLOPS.get(kind)
+            if peak:
+                mfu = (tflops_per_frame * fps) / peak
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"imitation_frames_per_sec_{SIZE}x{SIZE}_1chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+        "exact_semantics_fps": round(fps_exact, 3),
+        "model_tflops_per_frame": (round(tflops_per_frame, 4)
+                                   if tflops_per_frame else None),
+        "mfu": round(mfu, 4) if mfu else None,
+        "device": kind,
     }))
 
 

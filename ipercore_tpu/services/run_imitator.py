@@ -225,18 +225,16 @@ def imitate(opt) -> list[str]:
                     vid.save_image(fp, fused)
                     fused_paths.append(fp)
 
+            # make_video falls back to the cv2 encoder when ffmpeg is absent
             mp4 = os.path.join(out_dir, "imitation.mp4")
-            if vid.has_ffmpeg():
-                try:
-                    vid.make_video(paths, mp4, fps=ref_meta.fps, audio_path=ref_meta.audio)
-                    if fused_paths:
-                        vid.make_video(fused_paths,
-                                       os.path.join(out_dir, "imitation_fused.mp4"),
-                                       fps=ref_meta.fps, audio_path=ref_meta.audio)
-                    outputs.append(mp4)
-                except Exception:
-                    outputs.append(out_dir)
-            else:
+            try:
+                vid.make_video(paths, mp4, fps=ref_meta.fps, audio_path=ref_meta.audio)
+                if fused_paths:
+                    vid.make_video(fused_paths,
+                                   os.path.join(out_dir, "imitation_fused.mp4"),
+                                   fps=ref_meta.fps, audio_path=ref_meta.audio)
+                outputs.append(mp4)
+            except Exception:
                 outputs.append(out_dir)
     return outputs
 

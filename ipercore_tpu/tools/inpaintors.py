@@ -30,6 +30,10 @@ INPAINT_DEFAULT_WEIGHTS = os.path.join(
 # `esrgan_psnr_x4c64b23g32` weights use the same layout (convert_esrgan).
 SR_DEFAULT_WEIGHTS = os.path.join(
     os.path.dirname(INPAINT_DEFAULT_WEIGHTS), "esrgan.npz")
+# Stage-2 contextual-attention refinement weights
+# (scripts/train_inpaintor.py --stage 2).
+REFINE_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(INPAINT_DEFAULT_WEIGHTS), "inpaintor_refine.npz")
 
 
 class GatedConv(nn.Module):
@@ -64,6 +68,50 @@ class GatedInpaintor(nn.Module):
         y = GatedConv(4 * w, stride=2)(y)
         for d in (1, 2, 4, 8):
             y = GatedConv(4 * w, dilation=d)(y)
+        y = GatedConv(4 * w)(y)
+        y = nn.ConvTranspose(2 * w, (4, 4), strides=(2, 2), padding="SAME")(y)
+        y = GatedConv(2 * w)(y)
+        y = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(y)
+        y = GatedConv(w)(y)
+        return jnp.tanh(nn.Conv(3, (3, 3), padding=PAD3)(y))
+
+
+# deepfillv2's contextual-attention operator, shared with the GCA-style
+# mattor — see `ops/attention.py` for the TPU-first design notes.
+from ipercore_tpu.ops.attention import ContextualAttention  # noqa: E402
+
+
+class RefineInpaintor(nn.Module):
+    """deepfillv2 STAGE-2 refinement (the reference's DeepFillv2 via mmedit,
+    `mmedit_inpaintors.py:22-59`): two parallel encoder branches over the
+    coarse result — a dilated gated-conv branch and a contextual-attention
+    branch — concatenated and decoded to the refined RGB."""
+
+    width: int = 48
+
+    @nn.compact
+    def __call__(self, x, hole_mask):
+        """x: (N, H, W, 4) = coarse-filled RGB + mask; hole_mask: (N, H, W, 1).
+        Returns (N, H, W, 3) refined RGB in [-1, 1]."""
+        w = self.width
+        # --- dilated conv branch
+        a = GatedConv(w)(x)
+        a = GatedConv(2 * w, stride=2)(a)
+        a = GatedConv(2 * w)(a)
+        a = GatedConv(4 * w, stride=2)(a)
+        for d in (1, 2, 4, 8):
+            a = GatedConv(4 * w, dilation=d)(a)
+        # --- contextual attention branch (attention at H/4 resolution)
+        b = GatedConv(w)(x)
+        b = GatedConv(w, stride=2)(b)
+        b = GatedConv(2 * w)(b)
+        b = GatedConv(2 * w, stride=2)(b)
+        b = GatedConv(4 * w)(b)
+        m4 = (resize_image(hole_mask, b.shape[1], b.shape[2]) > 0.25).astype(b.dtype)
+        b = ContextualAttention()(b, m4)
+        b = GatedConv(4 * w)(b)
+        # --- merge + decode
+        y = jnp.concatenate([a, b], axis=-1)
         y = GatedConv(4 * w)(y)
         y = nn.ConvTranspose(2 * w, (4, 4), strides=(2, 2), padding="SAME")(y)
         y = GatedConv(2 * w)(y)
@@ -152,43 +200,59 @@ class SuperResolutionInpaintor:
 
     def __init__(self, inpaint_params=None, sr_params=None, control_size: int = 256,
                  trained: bool = False, sr_blocks: int = 23,
-                 weights_path: str = None):
+                 weights_path: str = None, refine_params=None,
+                 refine_weights_path: str = None):
         self.control_size = control_size
         self.net = GatedInpaintor()
+        self.refine = RefineInpaintor()
         self.sr = RRDBNet(n_blocks=sr_blocks)
+
+        def _load(path):
+            from ipercore_tpu.utils.checkpoint import load_params
+
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x), jnp.float32),
+                load_params(path))
+
         if inpaint_params is None:
             path = weights_path or INPAINT_DEFAULT_WEIGHTS
             if os.path.exists(path):
-                from ipercore_tpu.utils.checkpoint import load_params
-
-                tree = load_params(path)
-                inpaint_params = jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(np.asarray(x), jnp.float32), tree)
+                inpaint_params = _load(path)
         self.trained = trained or (inpaint_params is not None)
         s = control_size
         if inpaint_params is None:
             inpaint_params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)))
+        # stage-2 refinement: only active with trained weights (an untrained
+        # attention decoder would corrupt the stage-1 result)
+        self.refine_trained = refine_params is not None
+        rpath = refine_weights_path or REFINE_DEFAULT_WEIGHTS
+        if refine_params is None and os.path.exists(rpath):
+            refine_params = _load(rpath)
+            self.refine_trained = True
+        if refine_params is None:
+            refine_params = jax.jit(self.refine.init)(
+                jax.random.PRNGKey(2), jnp.zeros((1, s, s, 4)),
+                jnp.zeros((1, s, s, 1)))
         self.sr_trained = sr_params is not None
         if sr_params is None and os.path.exists(SR_DEFAULT_WEIGHTS):
-            from ipercore_tpu.utils.checkpoint import load_params
-
-            sr_params = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(np.asarray(x), jnp.float32),
-                load_params(SR_DEFAULT_WEIGHTS))
+            sr_params = _load(SR_DEFAULT_WEIGHTS)
             self.sr_trained = True
         if sr_params is None:
             sr_params = jax.jit(self.sr.init)(
                 jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3)))
         self.inpaint_params = inpaint_params
+        self.refine_params = refine_params
         self.sr_params = sr_params
         self._inpaint = jax.jit(self.net.apply)
+        self._refine = jax.jit(self.refine.apply)
         self._sr = jax.jit(self.sr.apply)
 
     def run_inpainting(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """image: (H, W, 3) in [-1, 1]; mask: (H, W, 1) 1 = human region to remove.
 
-        Returns: (H, W, 3) inpainted background — `run_inpainting:69`.
+        Returns: (H, W, 3) inpainted background — `run_inpainting:69`
+        (coarse gated stage, optional contextual-attention refinement, SR).
         """
         H, W = image.shape[:2]
         s = self.control_size
@@ -198,6 +262,10 @@ class SuperResolutionInpaintor:
             x = jnp.concatenate([img_c * (1 - mask_c), mask_c], axis=-1)
             out = self._inpaint(self.inpaint_params, x)
             out = img_c * (1 - mask_c) + out * mask_c
+            if self.refine_trained:
+                x2 = jnp.concatenate([out, mask_c], axis=-1)
+                ref = self._refine(self.refine_params, x2, mask_c)
+                out = img_c * (1 - mask_c) + ref * mask_c
         else:
             out = diffusion_fill(img_c * (1 - mask_c), mask_c)
         if (H, W) != (s, s):

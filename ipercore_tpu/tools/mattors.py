@@ -33,6 +33,10 @@ from ipercore_tpu.ops.morphology import erode, dilate
 DEFAULT_WEIGHTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "assets", "person_seg.npz")
+# Guided-contextual-attention refiner weights
+# (scripts/train_person_seg.py --matting gca): preferred over the plain
+# refiner when present.
+GCA_WEIGHTS = os.path.join(os.path.dirname(DEFAULT_WEIGHTS), "matting_gca.npz")
 
 
 def load_default_weights(path: str = None):
@@ -95,6 +99,39 @@ class MattingRefiner(nn.Module):
         return nn.sigmoid(nn.Conv(1, (1, 1))(x))
 
 
+class GCAMattingRefiner(nn.Module):
+    """Guided-contextual-attention alpha refiner — the TPU counterpart of the
+    reference's mmedit GCA stage (`point_render_parser.py:150-204`): a UNet
+    over (RGB + trimap) with a contextual-attention block at the bottleneck
+    that rebuilds UNKNOWN-band features from appearance-similar KNOWN
+    (certain fg/bg) patches — GCA's core opacity-propagation idea as one
+    MXU attention matmul (`ops/attention.py`)."""
+
+    widths: tuple = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, 4) = RGB + trimap (0 bg / 0.5 unknown / 1 fg)."""
+        from ipercore_tpu.ops.attention import ContextualAttention
+        from ipercore_tpu.ops.sampling import resize_image
+
+        trimap = x[..., 3:4]
+        unknown = ((trimap > 0.25) & (trimap < 0.75)).astype(x.dtype)
+        skips = []
+        for w in self.widths[:-1]:
+            x = ConvBlock(w)(x)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = ConvBlock(self.widths[-1])(x)
+        u = (resize_image(unknown, x.shape[1], x.shape[2]) > 0.25).astype(x.dtype)
+        x = ContextualAttention(name="gca")(x, u)
+        x = ConvBlock(self.widths[-1])(x)
+        for w, s in zip(reversed(self.widths[:-1]), reversed(skips)):
+            x = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(x)
+            x = ConvBlock(w)(jnp.concatenate([x, s], axis=-1))
+        return nn.sigmoid(nn.Conv(1, (1, 1))(x))
+
+
 def generate_trimap(mask: jnp.ndarray, erode_ks: int = 11, dilate_ks: int = 21) -> jnp.ndarray:
     """Binary person mask -> trimap {0, 0.5, 1} — `point_render_parser.py:92`.
 
@@ -115,15 +152,26 @@ class HumanMattor:
     """
 
     def __init__(self, seg_params=None, mat_params=None, image_size: int = 512,
-                 trained: bool = False, weights_path: str = None):
+                 trained: bool = False, weights_path: str = None,
+                 gca_weights_path: str = None):
         self.seg = PersonSegUNet()
-        self.mat = MattingRefiner()
+        # GCA refiner preferred when its trained weights exist
+        # (`point_render_parser.py:150-204` runs GCA, not a plain UNet)
+        gca_path = gca_weights_path or GCA_WEIGHTS
+        use_gca = mat_params is None and os.path.exists(gca_path)
+        self.mat = GCAMattingRefiner() if use_gca else MattingRefiner()
         self.image_size = image_size
         if seg_params is None and mat_params is None:
             pretrained = load_default_weights(weights_path)
             if pretrained is not None:
                 seg_params = pretrained["seg"]
                 mat_params = pretrained["mat"]
+            if use_gca:
+                gca = load_default_weights(gca_path)
+                if gca is not None and "mat" in gca:
+                    mat_params = gca["mat"]
+                    if "seg" in gca and seg_params is None:
+                        seg_params = gca["seg"]
         self.trained = trained or (seg_params is not None)
         s = image_size
         if seg_params is None:

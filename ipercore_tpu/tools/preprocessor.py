@@ -230,7 +230,8 @@ class Preprocessor:
                     else:
                         kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
                     init_theta = theta
-                    theta = np.asarray(smplify_refine(
+                    # np.array (copy): asarray of a jax array is read-only
+                    theta = np.array(smplify_refine(
                         self.body_model, jnp.asarray(theta),
                         jnp.asarray(kps19), jnp.asarray(conf19)))
                     # outlier SMPLify results fall back to the SPIN init

@@ -186,21 +186,57 @@ def save_image(path: str, img: np.ndarray) -> None:
     write_png(path, u8)
 
 
-# --- ffmpeg wrappers ----------------------------------------------------------
+# --- ffmpeg wrappers (cv2 fallback when ffmpeg is absent) ---------------------
+
+def _cv2():
+    try:
+        import cv2
+
+        return cv2
+    except Exception:
+        return None
+
 
 def video2frames(video_path: str, out_dir: str, fps: Optional[float] = None) -> list[str]:
-    """Decode a video into numbered pngs — `video2frames:531`."""
+    """Decode a video into numbered pngs — `video2frames:531`.
+
+    Prefers subprocess ffmpeg (the reference's transport); falls back to an
+    OpenCV VideoCapture loop on ffmpeg-less hosts. `fps` resamples by frame
+    skipping in the fallback."""
     os.makedirs(out_dir, exist_ok=True)
-    cmd = ["ffmpeg", "-y", "-loglevel", "error", "-i", video_path]
-    if fps:
-        cmd += ["-r", str(fps)]
-    cmd += [os.path.join(out_dir, "frame_%08d.png")]
-    subprocess.run(cmd, check=True)
+    if has_ffmpeg():
+        cmd = ["ffmpeg", "-y", "-loglevel", "error", "-i", video_path]
+        if fps:
+            cmd += ["-r", str(fps)]
+        cmd += [os.path.join(out_dir, "frame_%08d.png")]
+        subprocess.run(cmd, check=True)
+        return list_frames(out_dir)
+    cv2 = _cv2()
+    if cv2 is None:
+        raise RuntimeError("neither ffmpeg nor cv2 available to decode video")
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cv2 could not open {video_path}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    step = max(src_fps / fps, 1.0) if fps else 1.0
+    i_out, acc = 0, 0.0
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx >= acc:
+            acc += step
+            i_out += 1
+            write_png(os.path.join(out_dir, f"frame_{i_out:08d}.png"),
+                      frame[..., ::-1].copy())  # BGR -> RGB
+        idx += 1
+    cap.release()
     return list_frames(out_dir)
 
 
 def get_video_fps(video_path: str, default: float = 25.0) -> float:
-    """ffprobe fps — `get_video_fps:623`."""
+    """ffprobe fps — `get_video_fps:623` (cv2 fallback)."""
     try:
         out = subprocess.run(
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
@@ -210,6 +246,17 @@ def get_video_fps(video_path: str, default: float = 25.0) -> float:
         num, den = out.split("/")
         return float(num) / float(den)
     except Exception:
+        cv2 = _cv2()
+        if cv2 is not None:
+            try:
+                cap = cv2.VideoCapture(video_path)
+                if cap.isOpened():
+                    fps = cap.get(cv2.CAP_PROP_FPS)
+                    cap.release()
+                    if fps and fps > 0:
+                        return float(fps)
+            except Exception:
+                pass
         return default
 
 
@@ -240,23 +287,39 @@ def extract_audio_from_video(video_path: str, audio_path: str) -> Optional[str]:
 def make_video(frame_paths_or_dir, out_path: str, fps: float = 25.0,
                audio_path: Optional[str] = None) -> str:
     """Encode pngs to h264 mp4 (+ audio mux) — `make_video:54` +
-    `fuse_video_audio_output:508`."""
+    `fuse_video_audio_output:508`. cv2 VideoWriter fallback (no audio) on
+    ffmpeg-less hosts."""
     if isinstance(frame_paths_or_dir, str):
+        paths = list_frames(frame_paths_or_dir)
         pattern = os.path.join(frame_paths_or_dir, "frame_%08d.png")
     else:
         # symlink into a temp dir with a uniform pattern
         import tempfile
 
+        paths = [os.path.abspath(p) for p in frame_paths_or_dir]
         tmp = tempfile.mkdtemp(prefix="ipercore_vid_")
-        for i, p in enumerate(frame_paths_or_dir):
-            os.symlink(os.path.abspath(p), os.path.join(tmp, f"frame_{i:08d}.png"))
+        for i, p in enumerate(paths):
+            os.symlink(p, os.path.join(tmp, f"frame_{i:08d}.png"))
         pattern = os.path.join(tmp, "frame_%08d.png")
-    cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
-           "-i", pattern]
-    if audio_path and os.path.exists(audio_path):
-        cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
-    cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
-    subprocess.run(cmd, check=True)
+    if has_ffmpeg():
+        cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+               "-i", pattern]
+        if audio_path and os.path.exists(audio_path):
+            cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
+        cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+        subprocess.run(cmd, check=True)
+        return out_path
+    cv2 = _cv2()
+    if cv2 is None:
+        raise RuntimeError("neither ffmpeg nor cv2 available to encode video")
+    first = read_png(paths[0])
+    h, w = first.shape[:2]
+    # mp4v is the most portable cv2-bundled encoder
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for p in paths:
+        writer.write(read_png(p)[..., ::-1])  # RGB -> BGR
+    writer.release()
     return out_path
 
 
