@@ -34,7 +34,8 @@ def _collect_frames(path: str, out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     if os.path.isdir(path):
         frames = vid.list_frames(path)
-    elif vid.is_video_file(path) and vid.has_ffmpeg():
+    elif vid.is_video_file(path):
+        # video2frames prefers ffmpeg, falls back to cv2 on this box
         return vid.video2frames(path, out_dir)
     elif os.path.isfile(path):
         frames = [path]

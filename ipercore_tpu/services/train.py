@@ -133,6 +133,17 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
     display_every_s = float(tr.get("display_freq_s", 300.0))
     last_save = last_print = last_display = time.time()
 
+    # live babysitting dashboard (role of TensorBoardX/visdom,
+    # `tb_visualizer.py:10-76`): --live_port N serves loss curves + panels
+    dash = None
+    live_port = int(opt.get("live_port", 0) or 0)
+    if live_port:
+        from ipercore_tpu.utils.live_dashboard import LiveDashboard
+
+        dash = LiveDashboard(os.path.join(ckpt_dir, "train_log.jsonl"),
+                             os.path.join(ckpt_dir, "panels"),
+                             port=live_port).start()
+
     metrics = {}
     for i in range(int(state.step), total):
         batch = next(it)
@@ -169,6 +180,8 @@ def train(opt, max_iters: Optional[int] = None) -> dict:
                     jax.device_get(state.params_D),
                     opt_G=jax.device_get(state.opt_G),
                     opt_D=jax.device_get(state.opt_D))
+    if dash is not None:
+        dash.stop()
     return {k: float(v) for k, v in metrics.items()}
 
 

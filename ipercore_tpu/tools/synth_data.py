@@ -121,6 +121,98 @@ def synth_background(key, batch: int, size: int) -> jnp.ndarray:
     return jnp.clip(bg, -1, 1)
 
 
+def fractal_noise(key, batch: int, size: int, channels: int = 3,
+                  octaves: int = 5) -> jnp.ndarray:
+    """Multi-octave value noise in [-1, 1]: random low-res grids bilinearly
+    upsampled and summed with 1/2^o weights — cloud/vegetation-like textures
+    that read photographic, unlike per-pixel uniform noise. Shapes static."""
+    ks = jax.random.split(key, octaves)
+    out = jnp.zeros((batch, size, size, channels))
+    amp_sum = 0.0
+    for o in range(octaves):
+        res = max(2, 2 ** (o + 2))  # 4, 8, 16, 32, 64
+        if res > size:
+            break
+        g = jax.random.uniform(ks[o], (batch, res, res, channels),
+                               minval=-1.0, maxval=1.0)
+        up = jax.image.resize(g, (batch, size, size, channels), "linear")
+        amp = 1.0 / (2 ** o)
+        out = out + amp * up
+        amp_sum += amp
+    return out / amp_sum
+
+
+def synth_background_photo(key, batch: int, size: int) -> jnp.ndarray:
+    """Photo-statistics background plates (the sim2real upgrade of
+    `synth_background`): fractal value noise as the base 'scene texture',
+    plus 0-4 random clutter rectangles (structures/furniture), plus an
+    illumination gradient. Output in [-1, 1]."""
+    k = jax.random.split(key, 6)
+    base = fractal_noise(k[0], batch, size, 3)
+    # global tint + contrast per scene
+    tint = jax.random.uniform(k[1], (batch, 1, 1, 3), minval=-0.6, maxval=0.6)
+    contrast = jax.random.uniform(k[2], (batch, 1, 1, 1), minval=0.3, maxval=1.0)
+    bg = jnp.clip(base * contrast + tint, -1, 1)
+    # clutter rectangles: axis-aligned color blocks with soft edges
+    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, size), jnp.linspace(0, 1, size),
+                          indexing="ij")
+    kr = jax.random.split(k[3], 4)
+    for i in range(4):
+        kk = jax.random.split(kr[i], 4)
+        c0 = jax.random.uniform(kk[0], (batch, 2), minval=0.0, maxval=0.8)
+        wh = jax.random.uniform(kk[1], (batch, 2), minval=0.05, maxval=0.5)
+        col = jax.random.uniform(kk[2], (batch, 1, 1, 3), minval=-1, maxval=1)
+        on = jax.random.bernoulli(kk[3], 0.5, (batch, 1, 1, 1))
+        inside = ((xx[None] >= c0[:, 0, None, None])
+                  & (xx[None] <= (c0[:, 0] + wh[:, 0])[:, None, None])
+                  & (yy[None] >= c0[:, 1, None, None])
+                  & (yy[None] <= (c0[:, 1] + wh[:, 1])[:, None, None]))
+        m = inside[..., None].astype(bg.dtype) * on
+        blend = jax.random.uniform(kk[3], (batch, 1, 1, 1), minval=0.4, maxval=1.0)
+        bg = bg * (1 - m * blend) + col * m * blend
+    # illumination gradient
+    ang = jax.random.uniform(k[4], (batch, 1, 1), minval=0, maxval=2 * np.pi)
+    g = (jnp.cos(ang) * (xx[None] - 0.5) + jnp.sin(ang) * (yy[None] - 0.5))[..., None]
+    amp = jax.random.uniform(k[5], (batch, 1, 1, 1), minval=0.0, maxval=0.5)
+    return jnp.clip(bg + amp * g, -1, 1)
+
+
+def _blur3(x: jnp.ndarray, strength: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3-tap blur with per-sample strength in [0, 1]."""
+    w = jnp.asarray([0.25, 0.5, 0.25])
+    pad = ((0, 0), (1, 1), (0, 0), (0, 0))
+    xp = jnp.pad(x, pad, mode="edge")
+    h = w[0] * xp[:, :-2] + w[1] * xp[:, 1:-1] + w[2] * xp[:, 2:]
+    pad = ((0, 0), (0, 0), (1, 1), (0, 0))
+    hp = jnp.pad(h, pad, mode="edge")
+    b = w[0] * hp[:, :, :-2] + w[1] * hp[:, :, 1:-1] + w[2] * hp[:, :, 2:]
+    return x + strength * (b - x)
+
+
+def photo_augment(key, img: jnp.ndarray) -> jnp.ndarray:
+    """Camera-pipeline augmentation: blur, per-channel color jitter, gamma,
+    vignette, sensor noise — the photometric gap between clean renders and
+    photographs. img (B, H, W, C) in [-1, 1]."""
+    b, h, w_, _ = img.shape
+    k = jax.random.split(key, 6)
+    img = _blur3(img, jax.random.uniform(k[0], (b, 1, 1, 1), minval=0.0, maxval=1.0))
+    scale = jax.random.uniform(k[1], (b, 1, 1, 3), minval=0.7, maxval=1.3)
+    shift = jax.random.uniform(k[2], (b, 1, 1, 3), minval=-0.15, maxval=0.15)
+    img = img * scale + shift
+    # gamma in [0.7, 1.4] applied in [0, 1] space
+    gamma = jax.random.uniform(k[3], (b, 1, 1, 1), minval=0.7, maxval=1.4)
+    img01 = jnp.clip((img + 1) * 0.5, 1e-4, 1.0)
+    img = jnp.power(img01, gamma) * 2.0 - 1.0
+    # vignette
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w_),
+                          indexing="ij")
+    r2 = (xx ** 2 + yy ** 2)[None, ..., None]
+    vig = jax.random.uniform(k[4], (b, 1, 1, 1), minval=0.0, maxval=0.4)
+    img = img - vig * r2
+    img = img + 0.04 * jax.random.normal(k[5], img.shape)
+    return jnp.clip(img, -1, 1)
+
+
 def compose_scene(key, model, assets, batch: int, size: int,
                   pose_std: float = 0.25, yaw: bool = True,
                   noise: float = 0.05) -> SceneBatch:

@@ -69,6 +69,8 @@ def main():
 
     if args.smoke:
         args.steps, args.batch, args.size = 4, 2, 64
+        if args.out.startswith(os.path.join(REPO, "assets")):
+            args.out = "/tmp/inpaintor_smoke.npz"  # never clobber shipped weights
         model = smpl_mod.synthetic_model(nu=16, nv=14)
         assets = load_assets(model, uv_map_path="/nonexistent", part_path="/nonexistent")
     else:

@@ -74,6 +74,9 @@ def main():
 
     if args.smoke:
         args.steps, args.batch, args.save_every = 3, 1, 10
+        args.size = min(args.size, 64)
+        if args.out.startswith(os.path.join(REPO, "assets")):
+            args.out = "/tmp/lwg_pretrained_smoke.npz"  # never clobber shipped weights
 
     B, S, ns, nt = args.batch, args.size, args.ns, args.nt
     F = ns + nt
