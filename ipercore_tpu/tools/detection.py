@@ -28,10 +28,25 @@ WORK = 160  # working resolution for the foreground grid
 
 
 def _resize(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Host-side downsample to (N, size, size, C).
+
+    Detection consumes COARSE grids; shipping full-res frame stacks to the
+    accelerator just to shrink them dominated stage-1.1 wall time on tunneled
+    TPUs (a 219-frame 1080p clip is 1.4 GB per detector). Integer box-pooling
+    + a small jax resize on the already-small remainder keeps all heavy bytes
+    on host."""
     import jax
 
     n, h, w, c = imgs.shape
-    return np.asarray(jax.image.resize(imgs, (n, size, size, c), "linear"))
+    kh, kw = max(h // size, 1), max(w // size, 1)
+    if kh > 1 or kw > 1:
+        hh, ww = (h // kh) * kh, (w // kw) * kw
+        imgs = imgs[:, :hh, :ww]
+        imgs = imgs.reshape(n, hh // kh, kh, ww // kw, kw, c).mean(axis=(2, 4))
+    if imgs.shape[1] == size and imgs.shape[2] == size:
+        return np.asarray(imgs, np.float32)
+    return np.asarray(jax.image.resize(
+        imgs.astype(np.float32), (n, size, size, c), "linear"))
 
 
 def median_background(frames: np.ndarray, max_samples: int = 24) -> np.ndarray:
@@ -163,15 +178,26 @@ class SegmentationDetector:
         """True when trained segmentation weights are loaded."""
         return bool(self.mattor.trained)
 
-    def run_masks(self, frames: np.ndarray) -> np.ndarray:
-        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) bool masks."""
+    def run_masks(self, frames: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) bool masks.
+
+        Fixed-size chunks keep the jitted segmenter's batch shape stable
+        across videos of any length (one compile, reused)."""
         import jax.numpy as jnp
         import flax.linen as nn
 
         small = _resize(frames, self.work)
         m = self.mattor
-        prob = np.asarray(nn.sigmoid(m._seg(m.seg_params, jnp.asarray(small))))
-        return np.stack([_clean(prob[i, ..., 0] > 0.5) for i in range(len(frames))])
+        n = len(small)
+        pad = (-n) % chunk
+        if pad:
+            small = np.concatenate([small, np.repeat(small[-1:], pad, 0)], 0)
+        probs = []
+        for i in range(0, len(small), chunk):
+            p = nn.sigmoid(m._seg(m.seg_params, jnp.asarray(small[i:i + chunk])))
+            probs.append(np.asarray(p))
+        prob = np.concatenate(probs, 0)[:n]
+        return np.stack([_clean(prob[i, ..., 0] > 0.5) for i in range(n)])
 
     def run(self, frames: np.ndarray) -> list[np.ndarray]:
         """frames: (N, H, W, 3) in [-1, 1]. Returns per-frame (K, 4) xyxy
@@ -230,12 +256,15 @@ def color_model_person_mask(img: np.ndarray, iters: int = 3,
         # the center seed region
         mask &= ~border
         comp_boxes = connected_component_boxes(mask, min_area=16)
+        # bound per-iteration work: only the 32 largest components matter
+        if len(comp_boxes) > 32:
+            areas = (comp_boxes[:, 2] - comp_boxes[:, 0]) * (
+                comp_boxes[:, 3] - comp_boxes[:, 1])
+            comp_boxes = comp_boxes[np.argsort(-areas)[:32]]
         keep = np.zeros_like(mask)
         for x0, y0, x1, y1 in comp_boxes.astype(int):
             if x1 > cx0 and x0 < cx1 and y1 > cy0 and y0 < cy1:
-                sub = np.zeros_like(mask)
-                sub[y0:y1, x0:x1] = True
-                keep |= mask & sub
+                keep[y0:y1, x0:x1] |= mask[y0:y1, x0:x1]
         mask = keep
         if not mask.any():
             return center
@@ -317,6 +346,7 @@ def _track_per_frame(per_frame: list[np.ndarray],
 def detect_person_boxes(
     frames: np.ndarray,
     seg_detector: Optional[SegmentationDetector] = None,
+    max_frames: int = 48,
 ) -> tuple[Optional[np.ndarray], str]:
     """Stage-1.1 person localization with explicit provenance.
 
@@ -335,6 +365,20 @@ def detect_person_boxes(
         (boxes (N, 4) or None, method): method names the winning source,
         "none" when every source declined (caller uses the full frame).
     """
+    # The crop consumes the UNION of per-frame boxes (`fmt_active_boxes`
+    # over `update_active_boxes`), so detection on an even temporal
+    # subsample is equivalent for long clips and bounds the per-frame host
+    # work; per-frame boxes are nearest-filled back to full length.
+    n_all = len(frames)
+    if n_all > max_frames:
+        ids = np.linspace(0, n_all - 1, max_frames).astype(np.int64)
+        sub_boxes, method = detect_person_boxes(
+            frames[ids], seg_detector=seg_detector, max_frames=n_all)
+        if sub_boxes is None:
+            return None, method
+        nearest = np.abs(ids[None, :] - np.arange(n_all)[:, None]).argmin(1)
+        return sub_boxes[nearest], method
+
     seg = seg_detector or SegmentationDetector()
     min_hits = max(1, len(frames) // 2)
     tracked = track_person_boxes(frames)

@@ -62,6 +62,9 @@ def main():
     from ipercore_tpu.tools.inpaintors import RRDBNet
     from ipercore_tpu.utils.checkpoint import load_params, save_params
 
+    if args.smoke and args.out.startswith(os.path.join(REPO, "assets")):
+        args.out = "/tmp/" + os.path.basename(args.out).replace(".npz", "_smoke.npz")  # never clobber shipped weights
+
     if args.smoke:
         args.steps, args.batch, args.size = 4, 1, 64
         model = smpl_mod.synthetic_model(nu=16, nv=14)

@@ -85,6 +85,8 @@ def main():
         args.out = os.path.join(
             REPO, "assets",
             "mobilenet_openpose.npz" if mobile else "openpose.npz")
+    if args.smoke and args.out.startswith(os.path.join(REPO, "assets")):
+        args.out = "/tmp/openpose_smoke.npz"  # never clobber shipped weights
 
     def render_scene(key):
         sb = sd.compose_scene(key, model, assets, batch=B, size=S)

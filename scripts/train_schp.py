@@ -85,6 +85,9 @@ def main():
         LIP_NUM_CLASSES, SchpNet, SchpParser, resize_bilinear_ac)
     from ipercore_tpu.utils.checkpoint import load_params, save_params
 
+    if args.smoke and args.out.startswith(os.path.join(REPO, "assets")):
+        args.out = "/tmp/" + os.path.basename(args.out).replace(".npz", "_smoke.npz")  # never clobber shipped weights
+
     if args.smoke:
         args.steps, args.batch, args.size = 4, 1, 64
         model = smpl_mod.synthetic_model(nu=16, nv=14)

@@ -61,6 +61,9 @@ def main():
     from ipercore_tpu.tools.pose3d import HMR_IMG_SIZE, SPINNet
     from ipercore_tpu.utils.checkpoint import load_params, save_params
 
+    if args.smoke and args.out.startswith(os.path.join(REPO, "assets")):
+        args.out = "/tmp/" + os.path.basename(args.out).replace(".npz", "_smoke.npz")  # never clobber shipped weights
+
     if args.smoke:
         args.steps, args.batch, args.scene_size = 8, 2, 64
         model = smpl_mod.synthetic_model(nu=16, nv=14)
