@@ -97,7 +97,17 @@ def _clean(mask: np.ndarray, it: int = 1) -> np.ndarray:
 
 
 def connected_component_boxes(mask: np.ndarray, min_area: int = 16) -> np.ndarray:
-    """(H, W) bool -> (K, 4) xyxy boxes of connected components (8-conn BFS)."""
+    """(H, W) bool -> (K, 4) xyxy boxes of connected components (8-conn).
+
+    Uses the native union-find kernel (`native/cclabel.cpp`) when built —
+    the python BFS below is the stage-1.1 host hot loop on long clips —
+    with the BFS as the no-toolchain fallback."""
+    from ipercore_tpu.utils import native
+
+    nat = native.cc_boxes(mask)
+    if nat is not None:
+        keep = nat[nat[:, 4] >= min_area]
+        return keep[:, :4].astype(np.float32).reshape(-1, 4)
     h, w = mask.shape
     seen = np.zeros_like(mask, bool)
     boxes = []

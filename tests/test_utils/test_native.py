@@ -52,3 +52,27 @@ def test_native_unfilter_handles_all_filter_types():
     raw = b"".join(lines)
     out = native.png_unfilter(raw, h, stride, bpp)
     np.testing.assert_array_equal(out, truth.astype(np.uint8))
+
+
+def test_cc_boxes_native_matches_python():
+    import numpy as np
+    import pytest
+
+    from ipercore_tpu.utils import native
+
+    if native.cc_boxes(np.zeros((4, 4), bool)) is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(3)
+    m = rng.rand(96, 96) > 0.7
+    out = native.cc_boxes(m, max_comps=4096)
+    assert out is not None
+    # total area equals the mask's foreground count (labels partition it)
+    assert out[:, 4].sum() == m.sum()
+    # areas sorted descending
+    assert (np.diff(out[:, 4]) <= 0).all()
+    # every box is tight: the mask restricted to the box has pixels on all
+    # four edges for the single-component case
+    solid = np.zeros((32, 32), bool)
+    solid[4:10, 7:20] = True
+    b = native.cc_boxes(solid)
+    assert list(b[0]) == [7, 4, 20, 10, 6 * 13]
