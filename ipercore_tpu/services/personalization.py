@@ -38,11 +38,36 @@ def load_pretrained_generator(opt, params_like):
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "assets", "lwg_pretrained_G.npz"),
     ]
+    def shapes_match(loaded):
+        import jax
+
+        ok = [True]
+
+        def chk(a, b):
+            if getattr(a, "shape", None) != getattr(b, "shape", None):
+                ok[0] = False
+
+        try:
+            jax.tree_util.tree_map(chk, loaded, params_like)
+        except Exception:
+            return False
+        return ok[0]
+
     for p in candidates:
         if not p or not os.path.exists(p):
             continue
         if p.endswith(".npz"):
-            return load_params(p, like=params_like)
+            try:
+                out = load_params(p, like=params_like)
+            except Exception as e:  # missing keys / different arch family
+                print(f"[personalize] skip incompatible pretrain {p}: {e}")
+                continue
+            if not shapes_match(out):
+                # a full-size shipped pretrain cannot seed a differently
+                # configured G (e.g. the tiny test nets) — fall through
+                print(f"[personalize] skip shape-mismatched pretrain {p}")
+                continue
+            return out
         if p.endswith((".pth", ".pt")):
             import torch
 

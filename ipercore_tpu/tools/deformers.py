@@ -91,6 +91,12 @@ def soft_silhouette_raster(verts: jnp.ndarray, cam: jnp.ndarray,
         carry = carry + jnp.sum(jnp.log1p(-jnp.clip(c, 0.0, 1.0 - 1e-6)), axis=0)
         return carry, None
 
+    # remat the chunk body: without it, grad-of-scan stashes every chunk's
+    # (chunk, P, 3) einsum for the backward pass — 27 chunks x 4 frames at
+    # size=128 is ~10 GB logical and worse after TPU (8,128) tile padding
+    # (observed: a 58 GB allocation OOMing the deform stage on real media).
+    # Recomputing the einsum in the backward pass keeps residuals at O(P).
+    body = jax.checkpoint(body, prevent_cse=False)
     log_miss, _ = jax.lax.scan(body, jnp.zeros((pix.shape[0],)), (Mc, vc))
     return (1.0 - jnp.exp(log_miss)).reshape(size, size)
 

@@ -185,15 +185,41 @@ class HumanMattor:
         self._seg = jax.jit(self.seg.apply)
         self._mat = jax.jit(self.mat.apply)
 
-    def run(self, images: np.ndarray, fallback_mask: Optional[np.ndarray] = None):
+    def run(self, images: np.ndarray, fallback_mask: Optional[np.ndarray] = None,
+            batch_size: int = 16):
         """images: (N, H, W, 3) in [-1, 1].
 
         Returns: (alpha (N, H, W, 1) person opacity, mask (N, H, W, 1) binary).
+
+        Chunked over frames: the two UNets' activation buffers for a whole
+        driving clip (hundreds of frames at 512²) cannot live in HBM at once.
         """
+        n = len(images)
+        if n > batch_size:
+            outs = [self.run(images[i:i + batch_size],
+                             None if fallback_mask is None
+                             else fallback_mask[i:i + batch_size],
+                             batch_size=batch_size)
+                    for i in range(0, n, batch_size)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         x = jnp.asarray(images)
         if self.trained:
             p = nn.sigmoid(self._seg(self.seg_params, x))
             mask = (p > 0.5).astype(jnp.float32)
+            if fallback_mask is not None:
+                # COMPACTNESS gate before trusting the segmenter at all: an
+                # out-of-domain segmenter fires on scattered blobs across the
+                # whole frame (see docs/PARITY.md matting row) — the geometry
+                # silhouette beats that failure mode outright, and the IoU
+                # band logic below only arbitrates between two sane masks.
+                from ipercore_tpu.tools.detection import mask_is_compact
+
+                m_np = np.asarray(mask[..., 0]) > 0.5
+                compact = jnp.asarray(
+                    np.asarray([mask_is_compact(m) for m in m_np],
+                               np.float32))[:, None, None, None]
+                mask = compact * mask + (1 - compact) * jnp.asarray(fallback_mask)
             if fallback_mask is not None:
                 # Constrain the segmenter to a band around the SMPL
                 # silhouette: inside the eroded silhouette is certainly

@@ -218,11 +218,28 @@ class OpenPoseRunner:
         self.params = params
         self._apply = jax.jit(self.net.apply)
 
+    def _forward(self, images: np.ndarray, batch_size: int = 32):
+        """Chunked net forward: one jitted program per fixed batch shape —
+        running a whole driving clip (hundreds of frames) through a single
+        giant jit blows HBM on activation buffers (observed: 438-frame clip
+        at preprocess time)."""
+        n = len(images)
+        bs = min(batch_size, n)
+        pafs, hms = [], []
+        for i in range(0, n, bs):
+            x = np.asarray(images[i:i + bs], np.float32)
+            pad = bs - len(x)  # pad the tail chunk: one compiled shape total
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            paf, hm = self._apply(self.params, jnp.asarray(x) * 0.5)
+            pafs.append(np.asarray(paf[:bs - pad]))
+            hms.append(np.asarray(hm[:bs - pad]))
+        return np.concatenate(pafs), np.concatenate(hms)
+
     def run(self, images: np.ndarray):
         """images: (N, H, W, 3) in [-1, 1]. Returns kps (N, 25, 2), scores."""
-        x = jnp.asarray(images) * 0.5  # [-0.5, 0.5] openpose scaling
-        paf, hm = self._apply(self.params, x)
-        kps, scores, valid = decode_single_person(hm)
+        _, hm = self._forward(images)
+        kps, scores, valid = decode_single_person(jnp.asarray(hm))
         return np.asarray(kps), np.asarray(scores), np.asarray(valid)
 
     def run_tracked(self, images: np.ndarray, smooth: bool = True):
@@ -236,10 +253,8 @@ class OpenPoseRunner:
         from ipercore_tpu.tools.pose2d_decode import (
             OneEuroFilter, decode_multi_person, pick_largest_person)
 
-        x = jnp.asarray(images) * 0.5
-        paf, hm = self._apply(self.params, x)
-        paf_n, hm_n = np.asarray(paf), np.asarray(hm)
-        kps_a, scores_a, valid_a = decode_single_person(hm)
+        paf_n, hm_n = self._forward(images)
+        kps_a, scores_a, valid_a = decode_single_person(jnp.asarray(hm_n))
         kps_a, scores_a = np.asarray(kps_a), np.asarray(scores_a)
 
         h, w = hm_n.shape[1:3]

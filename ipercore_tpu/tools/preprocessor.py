@@ -288,17 +288,24 @@ class Preprocessor:
         return info
 
     # ------------------------------------------------------------------
-    def _smpl_silhouette(self, theta: np.ndarray) -> np.ndarray:
-        """Rendered SMPL body silhouette as the matting fallback (person=1)."""
+    def _smpl_silhouette(self, theta: np.ndarray, batch_size: int = 32) -> np.ndarray:
+        """Rendered SMPL body silhouette as the matting fallback (person=1).
+
+        Chunked over frames: one full-clip raster at image_size materializes
+        (N*S*S, aux) buffers — 438 frames at 512² was a 58 GB allocation."""
         import jax.numpy as jnp
 
         from ipercore_tpu.models import smpl as smpl_mod
         from ipercore_tpu.ops import rasterizer as rz
 
         model = self.body_model
-        d = smpl_mod.get_details(model, jnp.asarray(theta))
-        _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, self.image_size)
-        return np.asarray((fim >= 0))[..., None].astype(np.float32)
+        out = []
+        for i in range(0, len(theta), batch_size):
+            d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + batch_size]))
+            _, fim, _ = rz.render_fim_wim(
+                d["verts"], d["cam"], model.faces, self.image_size)
+            out.append(np.asarray((fim >= 0))[..., None].astype(np.float32))
+        return np.concatenate(out)
 
     def _find_front(self, theta: np.ndarray):
         """Count front-body/facial faces per frame — `_execute_post_find_front:257`."""
@@ -312,13 +319,16 @@ class Preprocessor:
         assets = load_assets(
             model, uv_map_path="/nonexistent" if self.smoke else None,
             part_path="/nonexistent" if self.smoke else None)
-        d = smpl_mod.get_details(model, jnp.asarray(theta))
         size = self.find_front_size if self.find_front_size % 128 == 0 else 256
-        _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, size)
-        vis = rz.visible_face_mask(fim, model.faces.shape[0])  # (N, F)
-        front_count = np.asarray(
-            jnp.sum(vis & assets.facial_face_mask[None], axis=1)
-            + jnp.sum(vis & assets.front_face_mask[None], axis=1))
+        counts = []
+        for i in range(0, len(theta), 32):  # chunked: bound raster buffers
+            d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + 32]))
+            _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, size)
+            vis = rz.visible_face_mask(fim, model.faces.shape[0])  # (n, F)
+            counts.append(np.asarray(
+                jnp.sum(vis & assets.facial_face_mask[None], axis=1)
+                + jnp.sum(vis & assets.front_face_mask[None], axis=1)))
+        front_count = np.concatenate(counts)
         order = np.argsort(-front_count)
         n = len(order)
         ft_ids = order[: max(n // 2, 1)].astype(np.int32)

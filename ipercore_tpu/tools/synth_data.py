@@ -215,9 +215,14 @@ def photo_augment(key, img: jnp.ndarray) -> jnp.ndarray:
 
 def compose_scene(key, model, assets, batch: int, size: int,
                   pose_std: float = 0.25, yaw: bool = True,
-                  noise: float = 0.05) -> SceneBatch:
-    """Full labeled scene batch at `size`, rendered supersampled 2x."""
-    ka, kb, kc, kd, ke = jax.random.split(key, 5)
+                  noise: float = 0.05, photo: bool = True) -> SceneBatch:
+    """Full labeled scene batch at `size`, rendered supersampled 2x.
+
+    photo=True (default, round-3 sim2real upgrade): 75% photo-statistics
+    backgrounds, fractal person shading, contact shadow, and the
+    camera-pipeline augmentation — the domain-randomization stack that
+    makes perception nets trained here transfer to photographs."""
+    ka, kb, kc, kd, ke, kf, kg, kh, ki = jax.random.split(key, 9)
     theta = make_theta(ka, batch, pose_std=pose_std, yaw=yaw)
     details = smpl_mod.get_details(model, theta)
     fim = render_fim(model, theta, size * 2, f2uvs=assets.f2uvs, details=details)
@@ -225,11 +230,26 @@ def compose_scene(key, model, assets, batch: int, size: int,
     alpha = _downsample2(hard_hi)
     cond = _downsample2(rz.encode_fim(fim, assets.map_fn))
     bg = synth_background(kb, batch, size)
+    if photo:
+        bg_photo = synth_background_photo(kf, batch, size)
+        use_photo = jax.random.bernoulli(kg, 0.75, (batch, 1, 1, 1))
+        bg = jnp.where(use_photo, bg_photo, bg)
     M = jax.random.uniform(kc, (batch, 3, 3), minval=-1, maxval=1)
     tex = jnp.einsum("bhwc,bcd->bhwd", cond, M)
+    if photo:
+        tex = tex + 0.35 * fractal_noise(kh, batch, size, 1)
+        # contact shadow under the person
+        sh = jnp.roll(alpha, (size // 32, size // 24), axis=(1, 2))
+        sh = jax.lax.reduce_window(sh, 0.0, jax.lax.add,
+                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME") / 25.0
+        amp = jax.random.uniform(ki, (batch, 1, 1, 1), minval=0.0, maxval=0.5)
+        bg = bg - amp * sh * (bg + 1.0) * 0.5
     tex = jnp.tanh(tex + 0.15 * jax.random.normal(kd, tex.shape))
     img = tex * alpha + bg * (1.0 - alpha)
-    img = jnp.clip(img + noise * jax.random.normal(ke, img.shape), -1, 1)
+    if photo:
+        img = photo_augment(ke, img)
+    else:
+        img = jnp.clip(img + noise * jax.random.normal(ke, img.shape), -1, 1)
     j2d = details["j2d"]
     return SceneBatch(img=img, alpha=alpha,
                       mask=(alpha > 0.5).astype(jnp.float32),

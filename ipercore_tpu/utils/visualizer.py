@@ -34,12 +34,15 @@ def smpl_overlay_frames(imgs: np.ndarray, theta: np.ndarray, model=None,
     if assets is None:
         assets = load_assets(model)
     S = imgs.shape[1]
-    d = smpl_mod.get_details(model, jnp.asarray(theta))
-    _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, S)
-    cond = np.asarray(rz.encode_fim(fim, assets.map_fn))  # (N, S, S, 3) in [0,1]
-    body = np.asarray(fim >= 0)[..., None]
-    overlay = imgs * (1 - alpha * body) + (cond * 2.0 - 1.0) * (alpha * body)
-    return overlay.astype(np.float32)
+    out = []
+    for i in range(0, len(theta), 32):  # chunked: bound full-clip raster buffers
+        d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + 32]))
+        _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, S)
+        cond = np.asarray(rz.encode_fim(fim, assets.map_fn))  # (n, S, S, 3) in [0,1]
+        body = np.asarray(fim >= 0)[..., None]
+        chunk = imgs[i:i + 32]
+        out.append(chunk * (1 - alpha * body) + (cond * 2.0 - 1.0) * (alpha * body))
+    return np.concatenate(out).astype(np.float32)
 
 
 def write_visual_video(imgs: np.ndarray, theta: np.ndarray, out_path: str,

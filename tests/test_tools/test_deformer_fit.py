@@ -88,3 +88,36 @@ def test_offsets_fit_recovers_wider_body():
     assert a_zero < a_obs  # the setup really is an expansion
     assert a_fit > a_zero, (a_fit, a_zero)
     assert abs(a_fit - a_obs) < abs(a_zero - a_obs), (a_fit, a_zero, a_obs)
+
+
+def test_sil_fit_grad_memory_bounded():
+    """grad(silhouette fit) must not stash per-chunk rasterizer residuals.
+
+    Before the scan body was rematted, grad-of-scan saved every chunk's
+    (chunk, P, 3) einsum for the backward pass: at size=128 x 4 frames that
+    is ~10 GB logical (58 GB after TPU tile padding) — the deform stage
+    OOMed on the real sample media. This compiles the REAL-cardinality
+    problem (default synthetic model = SMPL's 13776 faces) and bounds the
+    compiled temp allocation."""
+    import pytest
+
+    model = smpl_mod.synthetic_model()  # SMPL cardinalities: 13776 faces
+    size, n = 128, 4
+    theta = jnp.zeros((n, 85), jnp.float32).at[:, 0].set(1.2)
+    obs = jnp.zeros((n, size, size), jnp.float32)
+
+    def loss_fn(offsets):
+        details = smpl_mod.get_details(model, theta, offsets=offsets)
+        sils = jax.vmap(
+            lambda vv, c: soft_silhouette_raster(vv, c, model.faces, size))(
+            details["verts"], details["cam"])
+        return jnp.mean((sils - obs) ** 2) + jnp.mean(offsets ** 2)
+
+    offsets = jnp.zeros((model.v_template.shape[0], 3), jnp.float32)
+    compiled = jax.jit(jax.grad(loss_fn)).lower(offsets).compile()
+    try:
+        ma = compiled.memory_analysis()
+        temp = ma.temp_size_in_bytes
+    except Exception:
+        pytest.skip("backend exposes no memory analysis")
+    assert temp < 2 * 1024 ** 3, f"temp allocation {temp / 2**30:.2f} GiB"

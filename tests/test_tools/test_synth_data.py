@@ -18,7 +18,10 @@ def scene_model():
 
 def test_compose_scene_labels_consistent(scene_model):
     model, assets = scene_model
-    sb = sd.compose_scene(jax.random.PRNGKey(0), model, assets, batch=2, size=64)
+    # photo=False: the strict compositing invariant (img == bg outside the
+    # person up to noise) holds only without the camera-pipeline augmentation
+    sb = sd.compose_scene(jax.random.PRNGKey(0), model, assets, batch=2,
+                          size=64, photo=False)
     assert sb.img.shape == (2, 64, 64, 3)
     assert sb.alpha.shape == (2, 64, 64, 1)
     assert sb.theta.shape == (2, 85)
@@ -30,6 +33,17 @@ def test_compose_scene_labels_consistent(scene_model):
     frac = float(sb.mask.mean())
     assert 0.02 < frac < 0.6
     # labels are finite
+    for f in sb._fields:
+        assert np.isfinite(np.asarray(getattr(sb, f))).all(), f
+
+
+def test_compose_scene_photo_domain(scene_model):
+    """photo=True (default): augmented composite stays in range with the same
+    geometric labels; the person still dominates its alpha region."""
+    model, assets = scene_model
+    sb = sd.compose_scene(jax.random.PRNGKey(0), model, assets, batch=2, size=64)
+    assert np.abs(np.asarray(sb.img)).max() <= 1.0 + 1e-5
+    assert 0.02 < float(sb.mask.mean()) < 0.6
     for f in sb._fields:
         assert np.isfinite(np.asarray(getattr(sb, f))).all(), f
 
