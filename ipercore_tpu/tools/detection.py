@@ -328,6 +328,61 @@ def still_person_boxes(frames: np.ndarray, work: int = 192) -> list[np.ndarray]:
     return out
 
 
+def pose_person_boxes(frames: np.ndarray, pose2d=None,
+                      min_joints: int = 8, conf: float = 0.2,
+                      min_extent: float = 0.15) -> list[np.ndarray]:
+    """Per-frame person boxes from 2D pose keypoints.
+
+    The OpenPose net is the one perception module with demonstrated transfer
+    to photographs (validated on the bundled real sample, docs/PARITY.md), so
+    its confident-keypoint bounding box is a *trained* localization source
+    for stills where the median-background model has no signal — the role
+    PointRend boxes play in `point_render_parser.py:29-130`.
+
+    Gates: >= `min_joints` joints above `conf`, and the joint box must span
+    >= `min_extent` of the frame in at least one axis (rejects hallucinated
+    point clusters). The top edge is raised by 15% of box height when a head
+    joint (nose/eyes/ears) is confident — the crown sits above it — and by
+    35% when the highest confident joint is only a shoulder/neck.
+
+    frames: (N, H, W, 3) in [-1, 1]. Returns per-frame (K, 4) xyxy original
+    coords (K in {0, 1}).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if pose2d is None:
+        from ipercore_tpu.tools.pose2d import build_pose2d_estimator
+
+        pose2d = build_pose2d_estimator()
+    if not getattr(pose2d, "trained", False):
+        return [np.zeros((0, 4), np.float32) for _ in frames]
+    n, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    x = np.asarray(jax.image.resize(
+        jnp.asarray(frames, jnp.float32), (n, 368, 368, 3), "linear"))
+    kps, scores, _valid = pose2d.run_tracked(x, smooth=False)
+    out = []
+    for i in range(n):
+        sel = scores[i] > conf
+        if sel.sum() < min_joints:
+            out.append(np.zeros((0, 4), np.float32))
+            continue
+        k = kps[i][sel]  # NDC [-1, 1] over the full frame
+        px = (k[:, 0] + 1.0) * 0.5 * W
+        py = (k[:, 1] + 1.0) * 0.5 * H
+        x0, x1 = float(px.min()), float(px.max())
+        y0, y1 = float(py.min()), float(py.max())
+        if (x1 - x0) < min_extent * W and (y1 - y0) < min_extent * H:
+            out.append(np.zeros((0, 4), np.float32))
+            continue
+        head_seen = bool(scores[i][[0, 15, 16, 17, 18]].max() > conf)
+        y0 -= (0.15 if head_seen else 0.35) * (y1 - y0)
+        box = np.asarray([[max(x0, 0), max(y0, 0),
+                           min(x1, W), min(y1, H)]], np.float32)
+        out.append(box)
+    return out
+
+
 def _iou(a: np.ndarray, b: np.ndarray) -> float:
     ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
     iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
@@ -357,6 +412,7 @@ def detect_person_boxes(
     frames: np.ndarray,
     seg_detector: Optional[SegmentationDetector] = None,
     max_frames: int = 48,
+    pose2d=None,
 ) -> tuple[Optional[np.ndarray], str]:
     """Stage-1.1 person localization with explicit provenance.
 
@@ -365,6 +421,8 @@ def detect_person_boxes(
       * trained PersonSegUNet masks, accepted only when COMPACT
         (`mask_is_compact` rejects all-fired / scattered outputs — the
         failure mode of out-of-domain weights on photographs);
+      * confident 2D-pose keypoint boxes (`pose_person_boxes`) — the
+        perception module with demonstrated photo transfer;
       * iterated color-model (GrabCut-lite) — domain-independent, works on
         single stills; used as fallback and as the cross-check signal.
 
@@ -383,7 +441,8 @@ def detect_person_boxes(
     if n_all > max_frames:
         ids = np.linspace(0, n_all - 1, max_frames).astype(np.int64)
         sub_boxes, method = detect_person_boxes(
-            frames[ids], seg_detector=seg_detector, max_frames=n_all)
+            frames[ids], seg_detector=seg_detector, max_frames=n_all,
+            pose2d=pose2d)
         if sub_boxes is None:
             return None, method
         nearest = np.abs(ids[None, :] - np.arange(n_all)[:, None]).argmin(1)
@@ -421,7 +480,27 @@ def detect_person_boxes(
     if seg_boxes is not None:
         return seg_boxes, "person_seg"
 
+    pose_boxes = _track_per_frame(pose_person_boxes(frames, pose2d=pose2d),
+                                  min_hits)
     cm_boxes = _track_per_frame(still_person_boxes(frames), min_hits)
+    if pose_boxes is not None and cm_boxes is not None:
+        # the skeleton box localizes the person; the color model sees full
+        # clothing extent but also background clutter. Keep color-model
+        # bounds only where they agree with the (margin-expanded) pose box.
+        u_p = np.asarray([pose_boxes[:, 0].min(), pose_boxes[:, 1].min(),
+                          pose_boxes[:, 2].max(), pose_boxes[:, 3].max()])
+        u_c = np.asarray([cm_boxes[:, 0].min(), cm_boxes[:, 1].min(),
+                          cm_boxes[:, 2].max(), cm_boxes[:, 3].max()])
+        w, h = u_p[2] - u_p[0], u_p[3] - u_p[1]
+        grown = u_p + np.asarray([-0.25 * w, -0.15 * h, 0.25 * w, 0.1 * h])
+        clipped = np.asarray([max(u_c[0], grown[0]), max(u_c[1], grown[1]),
+                              min(u_c[2], grown[2]), min(u_c[3], grown[3])])
+        merged = np.asarray([min(u_p[0], clipped[0]), min(u_p[1], clipped[1]),
+                             max(u_p[2], clipped[2]), max(u_p[3], clipped[3])],
+                            np.float32)
+        return np.repeat(merged[None], len(frames), 0), "pose2d+color_model"
+    if pose_boxes is not None:
+        return pose_boxes, "pose2d"
     if cm_boxes is not None:
         return cm_boxes, "color_model"
     return None, "none"

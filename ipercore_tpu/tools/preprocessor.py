@@ -161,7 +161,8 @@ class Preprocessor:
                     method = "none"
             else:
                 tracked, method = detect_person_boxes(
-                    frames, seg_detector=SegmentationDetector())
+                    frames, seg_detector=SegmentationDetector(),
+                    pose2d=self.pose2d)
             if tracked is not None:
                 active_box = None
                 for b in tracked:
