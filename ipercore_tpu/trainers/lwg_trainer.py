@@ -66,6 +66,12 @@ class TrainConfig(NamedTuple):
     # standard 512^2+ memory lever).
     compute_dtype: str = "float32"
     remat: bool = False
+    # GAN-robustness hygiene: global-norm gradient clipping plus
+    # skip-update-on-nonfinite-grads. A long pretrain was observed blowing
+    # up (mask loss 0.57 -> 18.6 in 400 steps, NaN shortly after) and every
+    # step thereafter poisoned; apply_if_finite freezes through the bad
+    # step instead. 0 disables clipping.
+    grad_clip: float = 10.0
 
 
 def _schedule(lr: float, cfg: "TrainConfig"):
@@ -80,8 +86,15 @@ def _schedule(lr: float, cfg: "TrainConfig"):
 def make_optimizers(cfg: "TrainConfig"):
     """The two Adams (b1=0.5) with the reference's constant-then-linear-decay
     lr schedule — `lwg_trainer.py:104-175` + `base.py` schedulers."""
-    tx_g = optax.adam(_schedule(cfg.lr_g, cfg), b1=0.5, b2=0.999)
-    tx_d = optax.adam(_schedule(cfg.lr_d, cfg), b1=0.5, b2=0.999)
+    def guard(adam):
+        if cfg.grad_clip and cfg.grad_clip > 0:
+            adam = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+        # 100k tolerated consecutive nonfinite steps ~= "never halt, always
+        # skip" for any practical schedule
+        return optax.apply_if_finite(adam, max_consecutive_errors=100_000)
+
+    tx_g = guard(optax.adam(_schedule(cfg.lr_g, cfg), b1=0.5, b2=0.999))
+    tx_d = guard(optax.adam(_schedule(cfg.lr_d, cfg), b1=0.5, b2=0.999))
     return tx_g, tx_d
 
 

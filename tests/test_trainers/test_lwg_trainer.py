@@ -222,3 +222,28 @@ def test_bf16_remat_train_step(rig):
     rel = abs(float(metrics["g_total"]) - float(m32["g_total"])) / (
         abs(float(m32["g_total"])) + 1e-6)
     assert rel < 0.08, (float(metrics["g_total"]), float(m32["g_total"]))
+
+
+def test_nonfinite_batch_does_not_poison_params(rig):
+    """GAN blow-up hygiene: a step whose gradients go nonfinite must leave
+    the parameters untouched (optax.apply_if_finite), and training must
+    continue normally on the next clean batch — observed failure: one bad
+    step at ~3.2k iters turned every later metric NaN for the whole run."""
+    import functools
+
+    comp, gen, dis, vgg, vgg_params, face, face_params, cfg, state = rig
+    step = jax.jit(functools.partial(
+        T.train_step, comp=comp, generator=gen, discriminator=dis, vgg=vgg,
+        vgg_params=vgg_params, face=face, face_params=face_params, cfg=cfg, ns=NS))
+    bad = _batch(3)
+    bad["images"] = bad["images"].at[0, 0, 0, 0, 0].set(jnp.inf)
+    s_bad, m_bad = step(state, bad)
+    for a, b in zip(jax.tree_util.tree_leaves(s_bad.params_G),
+                    jax.tree_util.tree_leaves(state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # recovery: a clean step from the skipped state stays finite and moves
+    s_ok, m_ok = step(s_bad, _batch(4))
+    assert np.isfinite(float(m_ok["g_total"]))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_bad.params_G, s_ok.params_G)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
