@@ -156,3 +156,52 @@ def test_detect_person_boxes_still_photo_real():
     assert (x1 - x0) * (y1 - y0) < 0.8 * H * W  # not the full frame
     # contains the person (they stand around x in [250, 470], y in [110, 660])
     assert x0 < 300 and x1 > 430 and y0 < 160 and y1 > 600
+
+
+def test_pose_person_boxes_gating():
+    """Untrained pose runner -> no boxes; a trained-like runner returning a
+    confident skeleton -> one box with crown margin above the top joint."""
+    from ipercore_tpu.tools.detection import pose_person_boxes
+
+    frames = np.zeros((2, 128, 96, 3), np.float32)
+
+    class Untrained:
+        trained = False
+
+    out = pose_person_boxes(frames, pose2d=Untrained())
+    assert all(len(b) == 0 for b in out)
+
+    class Fake:
+        trained = True
+
+        def run_tracked(self, x, smooth=False):
+            n = len(x)
+            kps = np.zeros((n, 25, 2), np.float32)
+            scores = np.zeros((n, 25), np.float32)
+            # coherent standing person: neck..ankles spanning y in [-0.4, 0.8]
+            ys = np.linspace(-0.4, 0.8, 10)
+            ids = [1, 2, 5, 9, 12, 10, 13, 11, 14, 8]
+            for j, y in zip(ids, ys):
+                kps[:, j] = [0.1, y]
+                scores[:, j] = 0.8
+            return kps, scores, scores > 0.1
+
+    out = pose_person_boxes(frames, pose2d=Fake())
+    assert all(len(b) == 1 for b in out)
+    x0, y0, x1, y1 = out[0][0]
+    H = 128
+    top_joint_px = (1 - 0.4) * 0.5 * H
+    assert y0 < top_joint_px  # crown margin raised the top edge
+    # no head joint was confident -> the larger (35%) margin applies
+    span = (0.8 - (-0.4)) * 0.5 * H  # joint box height in px
+    assert y0 <= top_joint_px - 0.3 * span
+
+    class TooFew(Fake):
+        def run_tracked(self, x, smooth=False):
+            kps, scores, valid = super().run_tracked(x, smooth)
+            scores[:, :] = 0.0
+            scores[:, 1] = 0.8  # single confident joint: reject
+            return kps, scores, scores > 0.1
+
+    out = pose_person_boxes(frames, pose2d=TooFew())
+    assert all(len(b) == 0 for b in out)
