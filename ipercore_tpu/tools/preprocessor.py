@@ -289,23 +289,32 @@ class Preprocessor:
         return info
 
     # ------------------------------------------------------------------
-    def _smpl_silhouette(self, theta: np.ndarray, batch_size: int = 32) -> np.ndarray:
+    def _smpl_silhouette(self, theta: np.ndarray, batch_size: int = 16) -> np.ndarray:
         """Rendered SMPL body silhouette as the matting fallback (person=1).
 
         Chunked over frames: one full-clip raster at image_size materializes
-        (N*S*S, aux) buffers — 438 frames at 512² was a 58 GB allocation."""
+        (N*S*S, aux) buffers — 438 frames at 512² was a 58 GB allocation.
+        The raster itself runs at <=256² (a trimap seed does not need pixel
+        precision) and is upsampled: a 32-frame 512² raster chunk alone
+        exceeded a 16 GB HBM chip on the real akun_1 clip."""
+        import jax
         import jax.numpy as jnp
 
         from ipercore_tpu.models import smpl as smpl_mod
         from ipercore_tpu.ops import rasterizer as rz
 
         model = self.body_model
+        S = self.image_size
+        rS = min(S, 256)
         out = []
         for i in range(0, len(theta), batch_size):
             d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + batch_size]))
-            _, fim, _ = rz.render_fim_wim(
-                d["verts"], d["cam"], model.faces, self.image_size)
-            out.append(np.asarray((fim >= 0))[..., None].astype(np.float32))
+            _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, rS)
+            sil = (fim >= 0).astype(jnp.float32)[..., None]
+            if rS != S:
+                sil = jax.image.resize(sil, (sil.shape[0], S, S, 1), "linear")
+                sil = (sil > 0.5).astype(jnp.float32)
+            out.append(np.asarray(sil))
         return np.concatenate(out)
 
     def _find_front(self, theta: np.ndarray):
