@@ -34,13 +34,16 @@ def smpl_overlay_frames(imgs: np.ndarray, theta: np.ndarray, model=None,
     if assets is None:
         assets = load_assets(model)
     S = imgs.shape[1]
+    # chunked: bound full-clip raster buffers. 8 frames at 512² — a 32-frame
+    # 512² raster chunk alone exceeded a 16 GB HBM chip (real 219-frame clip).
+    step = max(1, 8 * (512 // max(S, 1)) ** 2)
     out = []
-    for i in range(0, len(theta), 32):  # chunked: bound full-clip raster buffers
-        d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + 32]))
+    for i in range(0, len(theta), step):
+        d = smpl_mod.get_details(model, jnp.asarray(theta[i:i + step]))
         _, fim, _ = rz.render_fim_wim(d["verts"], d["cam"], model.faces, S)
         cond = np.asarray(rz.encode_fim(fim, assets.map_fn))  # (n, S, S, 3) in [0,1]
         body = np.asarray(fim >= 0)[..., None]
-        chunk = imgs[i:i + 32]
+        chunk = imgs[i:i + step]
         out.append(chunk * (1 - alpha * body) + (cond * 2.0 - 1.0) * (alpha * body))
     return np.concatenate(out).astype(np.float32)
 
