@@ -162,12 +162,75 @@ class PersonDetector:
         return out
 
 
+def person_components(prob: np.ndarray, min_area: int = 32,
+                      aspect_mu: float = 2.2, aspect_sigma: float = 0.6
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Score connected components of a segmentation probability map by
+    person-likeness. The score is
+
+        mean in-mask probability × bounding-box fill × aspect prior × √area
+
+    where the aspect prior is log-normal around h/w ≈ 2.2 (standing people;
+    sitting ≈ 1 still scores ~0.4, pavements/hedges at 0.2-0.3 score ~0).
+    This replaces all-or-nothing `mask_is_compact` gating of the UNION mask:
+    a correct person component survives false-positive texture blobs
+    elsewhere in the frame.
+
+    Args: prob (H, W) float in [0, 1].
+    Returns (boxes (K, 4) xyxy float, scores (K,)), sorted by score desc.
+    """
+    m = _clean(prob > 0.5)
+    boxes = connected_component_boxes(m, min_area=min_area)
+    if not len(boxes):
+        return boxes, np.zeros((0,), np.float32)
+    scores = []
+    for b in boxes:
+        x0, y0, x1, y1 = b.astype(int)
+        sub = m[y0:y1, x0:x1]
+        fill = float(sub.mean())
+        conf = float(prob[y0:y1, x0:x1][sub].mean()) if sub.any() else 0.0
+        ar = (y1 - y0) / max(x1 - x0, 1)
+        ar_s = float(np.exp(-0.5 * ((np.log(max(ar, 1e-3))
+                                     - np.log(aspect_mu)) / aspect_sigma) ** 2))
+        scores.append(conf * fill * ar_s * float(np.sqrt(sub.sum())))
+    scores = np.asarray(scores, np.float32)
+    order = np.argsort(-scores)
+    return boxes[order], scores[order]
+
+
+def _merge_aligned_components(boxes: np.ndarray, scores: np.ndarray,
+                              rel_score: float = 0.12,
+                              min_x_overlap: float = 0.5) -> np.ndarray:
+    """Union the best component with lower-scoring components that are
+    vertically stacked with it (x-intervals overlap ≥ `min_x_overlap` of the
+    smaller). A person often splits into torso + legs when a waistline or a
+    bright path crosses the silhouette; the parts share a column range while
+    texture blobs elsewhere do not. Returns one xyxy box."""
+    best = boxes[0].copy()
+    for b, s in zip(boxes[1:], scores[1:]):
+        if s < rel_score * scores[0]:
+            continue
+        ov = min(best[2], b[2]) - max(best[0], b[0])
+        if ov < min_x_overlap * min(best[2] - best[0], b[2] - b[0]):
+            continue
+        best = np.asarray([min(best[0], b[0]), min(best[1], b[1]),
+                           max(best[2], b[2]), max(best[3], b[3])])
+    return best
+
+
 class SegmentationDetector:
     """Person boxes from the trained PersonSegUNet (`tools/mattors.py`) —
     works on SINGLE STILL IMAGES and moving cameras, where the
     median-background model cannot. This is the repo's counterpart of the
     reference's detection-by-instance-segmentation design
     (`point_render_parser.py:29-130` drives boxes from PointRend masks).
+
+    Box extraction is two-pass: person-likeness component scoring on the
+    full frame (`person_components`), then ZOOM REFINEMENT — the best
+    candidate is re-segmented on its own margin-expanded crop, where the
+    person occupies the scale the net was trained at (`make_theta`
+    scale_range 0.55-1.6 ⇒ 30-90% of the frame) and background texture
+    false-positives shrink with their area share.
     """
 
     def __init__(self, mattor=None, work: int = 256, min_area_frac: float = 0.005):
@@ -188,15 +251,62 @@ class SegmentationDetector:
         """True when trained segmentation weights are loaded."""
         return bool(self.mattor.trained)
 
-    def run_masks(self, frames: np.ndarray, chunk: int = 16) -> np.ndarray:
-        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) bool masks.
+    def run_probs(self, frames: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) float probs.
 
         Fixed-size chunks keep the jitted segmenter's batch shape stable
         across videos of any length (one compile, reused)."""
+        return self.run_probs_pre(_resize(frames, self.work), chunk=chunk)
+
+    def run_masks(self, frames: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """frames: (N, H, W, 3) in [-1, 1] -> (N, work, work) bool masks."""
+        prob = self.run_probs(frames, chunk=chunk)
+        return np.stack([_clean(prob[i] > 0.5) for i in range(len(prob))])
+
+    def zoom_refine(self, frames: np.ndarray, boxes: np.ndarray,
+                    iters: int = 2) -> tuple[np.ndarray, np.ndarray]:
+        """Refine per-frame boxes by re-segmenting margin-expanded crops.
+
+        frames (N, H, W, 3), boxes (N, 4) xyxy original coords.
+        Returns (refined (N, 4), ok (N,) bool). ok[i] is False when the
+        zoomed segmentation produced nothing person-like (caller keeps the
+        coarse box). Crops are batched through the same chunked jitted
+        segmenter shape as `run_probs` (no extra compile)."""
+        H, W = frames.shape[1], frames.shape[2]
+        boxes = boxes.astype(np.float64).copy()
+        ok = np.ones((len(frames),), bool)
+        min_area = max(int(self.min_area_frac * self.work * self.work), 8)
+        for _ in range(iters):
+            crops = []
+            geoms = []
+            for i, (x0, y0, x1, y1) in enumerate(boxes):
+                w, h = x1 - x0, y1 - y0
+                ex0, ey0 = max(0.0, x0 - 0.6 * w), max(0.0, y0 - 0.4 * h)
+                ex1, ey1 = min(float(W), x1 + 0.6 * w), min(float(H), y1 + 0.8 * h)
+                crops.append(frames[i, int(ey0):max(int(ey1), int(ey0) + 2),
+                                    int(ex0):max(int(ex1), int(ex0) + 2)])
+                geoms.append((ex0, ey0, crops[-1].shape[1], crops[-1].shape[0]))
+            # crops differ in size; resize each to work² on host then batch
+            small = np.stack([_resize(c[None], self.work)[0] for c in crops])
+            probs = self.run_probs_pre(small)
+            for i in range(len(frames)):
+                cb, cs = person_components(probs[i], min_area=min_area)
+                if not len(cb):
+                    ok[i] = False
+                    continue
+                merged = _merge_aligned_components(cb, cs)
+                ex0, ey0, cw, ch = geoms[i]
+                boxes[i] = [ex0 + merged[0] * cw / self.work,
+                            ey0 + merged[1] * ch / self.work,
+                            ex0 + merged[2] * cw / self.work,
+                            ey0 + merged[3] * ch / self.work]
+        return boxes.astype(np.float32), ok
+
+    def run_probs_pre(self, small: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """`run_probs` for already-(N, work, work, 3) arrays."""
         import jax.numpy as jnp
         import flax.linen as nn
 
-        small = _resize(frames, self.work)
         m = self.mattor
         n = len(small)
         pad = (-n) % chunk
@@ -206,8 +316,7 @@ class SegmentationDetector:
         for i in range(0, len(small), chunk):
             p = nn.sigmoid(m._seg(m.seg_params, jnp.asarray(small[i:i + chunk])))
             probs.append(np.asarray(p))
-        prob = np.concatenate(probs, 0)[:n]
-        return np.stack([_clean(prob[i, ..., 0] > 0.5) for i in range(n)])
+        return np.concatenate(probs, 0)[:n, ..., 0]
 
     def run(self, frames: np.ndarray) -> list[np.ndarray]:
         """frames: (N, H, W, 3) in [-1, 1]. Returns per-frame (K, 4) xyxy
@@ -450,38 +559,72 @@ def detect_person_boxes(
 
     seg = seg_detector or SegmentationDetector()
     min_hits = max(1, len(frames) // 2)
-    tracked = track_person_boxes(frames)
+    H, W = frames.shape[1], frames.shape[2]
 
+    pose_seeds = pose_person_boxes(frames, pose2d=pose2d)
     seg_boxes = None
     if seg.available:
-        masks = seg.run_masks(frames)
-        if sum(mask_is_compact(m) for m in masks) >= min_hits:
-            H, W = frames.shape[1], frames.shape[2]
-            s = np.asarray([W / seg.work, H / seg.work] * 2, np.float32)
-            per_frame = [
-                connected_component_boxes(m, min_area=32) * s if m.any()
-                else np.zeros((0, 4), np.float32)
-                for m in masks]
-            seg_boxes = _track_per_frame(per_frame, min_hits)
+        # person-likeness component scoring per frame, seeded by the pose
+        # skeleton box when one exists (two independent trained signals),
+        # then zoom refinement at the segmenter's training scale.
+        probs = seg.run_probs(frames)
+        min_area = max(int(seg.min_area_frac * seg.work * seg.work), 8)
+        s = np.asarray([W / seg.work, H / seg.work] * 2, np.float32)
+        coarse = np.zeros((len(frames), 4), np.float32)
+        got = np.zeros((len(frames),), bool)
+        for i in range(len(frames)):
+            cb, cs = person_components(probs[i], min_area=min_area)
+            if not len(cb):
+                continue
+            if len(pose_seeds[i]):
+                # keep only components overlapping the pose box; the pose
+                # net localizes the person, the segmenter bounds clothing
+                seed = pose_seeds[i][0] / s
+                inside = [k for k in range(len(cb))
+                          if _iou(cb[k], seed) > 0.0
+                          or (cb[k][0] < seed[2] and cb[k][2] > seed[0]
+                              and cb[k][1] < seed[3] and cb[k][3] > seed[1])]
+                if inside:
+                    cb, cs = cb[inside], cs[inside]
+            coarse[i] = _merge_aligned_components(cb, cs) * s
+            got[i] = True
+        if got.sum() >= min_hits:
+            # nearest-fill the misses, then refine at zoom
+            idx = np.where(got)[0]
+            for i in np.where(~got)[0]:
+                coarse[i] = coarse[idx[np.abs(idx - i).argmin()]]
+            refined, ok = seg.zoom_refine(frames, coarse)
+            boxes = np.where(ok[:, None], refined, coarse)
+            # sanity: refined boxes must localize (not ~full frame) and be
+            # non-degenerate
+            wfrac = (boxes[:, 2] - boxes[:, 0]) / W
+            hfrac = (boxes[:, 3] - boxes[:, 1]) / H
+            good = (wfrac < 0.95) | (hfrac < 0.95)
+            good &= (boxes[:, 2] - boxes[:, 0]) > 4
+            good &= (boxes[:, 3] - boxes[:, 1]) > 4
+            if good.sum() >= min_hits:
+                gidx = np.where(good)[0]
+                nearest = gidx[np.abs(
+                    gidx[None, :] - np.arange(len(boxes))[:, None]).argmin(1)]
+                seg_boxes = boxes[nearest]
 
-    if tracked is not None and seg_boxes is not None:
-        # cross-check the union boxes (Weak#5: a moving camera smears the
-        # median background into confidently wrong boxes; a compact
-        # segmentation that disagrees wins)
-        def union(a):
-            return np.asarray([a[:, 0].min(), a[:, 1].min(),
-                               a[:, 2].max(), a[:, 3].max()])
+    tracked = track_person_boxes(frames)
+    if seg_boxes is not None:
+        if tracked is not None:
+            # cross-check the union boxes (Weak#5: a moving camera smears
+            # the median background into confidently wrong boxes; the
+            # zoom-verified segmentation is primary either way)
+            def union(a):
+                return np.asarray([a[:, 0].min(), a[:, 1].min(),
+                                   a[:, 2].max(), a[:, 3].max()])
 
-        if _iou(union(tracked), union(seg_boxes)) < 0.3:
-            return seg_boxes, "person_seg"
-        return tracked, "median_bg+person_seg"
+            if _iou(union(tracked), union(seg_boxes)) >= 0.3:
+                return seg_boxes, "person_seg+median_bg"
+        return seg_boxes, "person_seg"
     if tracked is not None:
         return tracked, "median_bg"
-    if seg_boxes is not None:
-        return seg_boxes, "person_seg"
 
-    pose_boxes = _track_per_frame(pose_person_boxes(frames, pose2d=pose2d),
-                                  min_hits)
+    pose_boxes = _track_per_frame(pose_seeds, min_hits)
     cm_boxes = _track_per_frame(still_person_boxes(frames), min_hits)
     if pose_boxes is not None and cm_boxes is not None:
         # the skeleton box localizes the person; the color model sees full

@@ -177,6 +177,127 @@ def synth_background_photo(key, batch: int, size: int) -> jnp.ndarray:
     return jnp.clip(bg + amp * g, -1, 1)
 
 
+_TEXTURE_BANK = None
+
+
+def _texture_bank() -> np.ndarray:
+    """Small bank of REAL photographs available offline (sklearn's bundled
+    sample images: an outdoor temple scene and a vegetation macro). Random
+    crops of these carry true photographic texture statistics — grass,
+    foliage, sky, architecture — that no procedural generator matches, and
+    they are exactly the textures the segmenter false-fires on when trained
+    purely procedurally. Returns (N, H, W, 3) in [-1, 1]; N=0 when sklearn
+    is unavailable (callers fall back to procedural plates).
+
+    Cached as HOST numpy (a jnp array materialized inside a jit trace would
+    be a tracer and leak across traces); callers convert per-trace."""
+    global _TEXTURE_BANK
+    if _TEXTURE_BANK is None:
+        imgs = []
+        try:
+            from sklearn.datasets import load_sample_images
+
+            for im in load_sample_images().images:
+                imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+        except Exception:
+            pass
+        if imgs:
+            h = min(i.shape[0] for i in imgs)
+            w = min(i.shape[1] for i in imgs)
+            _TEXTURE_BANK = np.stack([i[:h, :w] for i in imgs])
+        else:
+            _TEXTURE_BANK = np.zeros((0, 2, 2, 3), np.float32)
+    return _TEXTURE_BANK
+
+
+def synth_background_real(key, batch: int, size: int) -> jnp.ndarray:
+    """Background plates cropped from REAL photographs (`_texture_bank`):
+    random image / zoom (25-100% of the frame) / offset / h-flip / color
+    jitter. Axis-aligned crops make the bilinear gather separable (two 1-D
+    gathers instead of a 2-D grid sample). Falls back to
+    `synth_background_photo` when no bank is available."""
+    bank_np = _texture_bank()
+    if bank_np.shape[0] == 0:
+        return synth_background_photo(key, batch, size)
+    bank = jnp.asarray(bank_np)
+    n, H, W, _ = bank.shape
+    kb, ks, kt, kf, kc1, kc2 = jax.random.split(key, 6)
+    idx = jax.random.randint(kb, (batch,), 0, n)
+    side = jax.random.uniform(ks, (batch, 1), minval=0.25, maxval=1.0)
+    txy = jax.random.uniform(kt, (batch, 2), minval=0.0, maxval=1.0)
+    flip = jax.random.bernoulli(kf, 0.5, (batch, 1))
+    u = jnp.linspace(0.0, 1.0, size)[None]
+    gx = (txy[:, 0:1] * (1 - side) + u * side) * (W - 1)
+    gy = (txy[:, 1:2] * (1 - side) + u * side) * (H - 1)
+    gx = jnp.where(flip, (W - 1) - gx, gx)
+
+    def crop_one(i, gy, gx):
+        img = bank[i]  # (H, W, 3)
+        y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, W - 2)
+        wy = (gy - y0)[:, None, None]
+        wx = (gx - x0)[None, :, None]
+        rows = img[y0] * (1 - wy) + img[y0 + 1] * wy        # (size, W, 3)
+        return rows[:, x0] * (1 - wx) + rows[:, x0 + 1] * wx
+
+    out = jax.vmap(crop_one)(idx, gy, gx)
+    scale = jax.random.uniform(kc1, (batch, 1, 1, 3), minval=0.6, maxval=1.4)
+    shift = jax.random.uniform(kc2, (batch, 1, 1, 3), minval=-0.25, maxval=0.25)
+    return jnp.clip(out * scale + shift, -1, 1)
+
+
+def synth_background_mix(key, batch: int, size: int,
+                         real_frac: float = 0.0) -> jnp.ndarray:
+    """The background distribution for perception training: `real_frac`
+    real-photo crops, and of the rest 75% photo-statistics procedural / 25%
+    legacy procedural (gradients+checkers+noise).
+
+    real_frac defaults to 0: the offline real bank is only TWO photographs
+    (`_texture_bank`), and measured on the bundled real media a net trained
+    with real_frac 0.5 memorizes their statistics as 'background' and stops
+    firing on real people entirely (round-3 A/B: person mask on the real
+    still collapsed 0.21 -> 0.02 coverage). Keep it a light regularizer
+    (<0.2) unless the bank grows."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    photo = synth_background_photo(k2, batch, size)
+    old = synth_background(k3, batch, size)
+    u = jax.random.uniform(k4, (batch, 1, 1, 1))
+    cut = real_frac + 0.75 * (1.0 - real_frac)
+    out = jnp.where(u < cut, photo, old)
+    if real_frac > 0.0:
+        real = synth_background_real(k1, batch, size)
+        out = jnp.where(u < real_frac, real, out)
+    return out
+
+
+def person_texture_mix(key, cond: jnp.ndarray, batch: int, size: int,
+                       real_frac: float = 0.0) -> jnp.ndarray:
+    """Person appearance for composited training scenes.
+
+    Half procedural (random per-part linear color transform of the SMPL
+    part-condition map + fractal shading — gives part-distinct 'clothing'
+    cues), half REAL texture crops (fabric/texture statistics from
+    `_texture_bank`, shaded by the part map for limb structure). Without the
+    real half, 'looks photographic' perfectly separates fg from bg once real
+    backgrounds are in the mix, and the segmenter learns exactly that —
+    rejecting real people in real photos.
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    M = jax.random.uniform(k1, (batch, 3, 3), minval=-1, maxval=1)
+    proc = jnp.einsum("bhwc,bcd->bhwd", cond, M)
+    proc = proc + 0.35 * fractal_noise(k2, batch, size, 1)
+    proc = jnp.tanh(proc + 0.15 * jax.random.normal(k3, proc.shape))
+    # real fabric: tighter crops (more zoomed) than background plates, with
+    # part-map shading so limbs stay distinguishable
+    if real_frac <= 0.0:
+        return proc
+    real = synth_background_real(k4, batch, size)
+    shade = 0.65 + 0.35 * jnp.mean(cond, axis=-1, keepdims=True)
+    real = jnp.clip(real * shade, -1, 1)
+    use_real = jax.random.bernoulli(k5, real_frac, (batch, 1, 1, 1))
+    return jnp.where(use_real, real, proc)
+
+
 def _blur3(x: jnp.ndarray, strength: jnp.ndarray) -> jnp.ndarray:
     """Separable 3-tap blur with per-sample strength in [0, 1]."""
     w = jnp.asarray([0.25, 0.5, 0.25])
@@ -215,7 +336,8 @@ def photo_augment(key, img: jnp.ndarray) -> jnp.ndarray:
 
 def compose_scene(key, model, assets, batch: int, size: int,
                   pose_std: float = 0.25, yaw: bool = True,
-                  noise: float = 0.05, photo: bool = True) -> SceneBatch:
+                  noise: float = 0.05, photo: bool = True,
+                  real_frac: float = 0.0) -> SceneBatch:
     """Full labeled scene batch at `size`, rendered supersampled 2x.
 
     photo=True (default, round-3 sim2real upgrade): 75% photo-statistics
@@ -229,22 +351,24 @@ def compose_scene(key, model, assets, batch: int, size: int,
     hard_hi = (fim >= 0).astype(jnp.float32)[..., None]
     alpha = _downsample2(hard_hi)
     cond = _downsample2(rz.encode_fim(fim, assets.map_fn))
-    bg = synth_background(kb, batch, size)
     if photo:
-        bg_photo = synth_background_photo(kf, batch, size)
-        use_photo = jax.random.bernoulli(kg, 0.75, (batch, 1, 1, 1))
-        bg = jnp.where(use_photo, bg_photo, bg)
-    M = jax.random.uniform(kc, (batch, 3, 3), minval=-1, maxval=1)
-    tex = jnp.einsum("bhwc,bcd->bhwd", cond, M)
+        bg = synth_background_mix(kb, batch, size, real_frac=real_frac)
+        del kf, kg  # folded into the mix
+    else:
+        bg = synth_background(kb, batch, size)
     if photo:
-        tex = tex + 0.35 * fractal_noise(kh, batch, size, 1)
+        tex = person_texture_mix(kc, cond, batch, size, real_frac=real_frac)
         # contact shadow under the person
         sh = jnp.roll(alpha, (size // 32, size // 24), axis=(1, 2))
         sh = jax.lax.reduce_window(sh, 0.0, jax.lax.add,
                                    (1, 5, 5, 1), (1, 1, 1, 1), "SAME") / 25.0
         amp = jax.random.uniform(ki, (batch, 1, 1, 1), minval=0.0, maxval=0.5)
         bg = bg - amp * sh * (bg + 1.0) * 0.5
-    tex = jnp.tanh(tex + 0.15 * jax.random.normal(kd, tex.shape))
+        del kd, kh
+    else:
+        M = jax.random.uniform(kc, (batch, 3, 3), minval=-1, maxval=1)
+        tex = jnp.einsum("bhwc,bcd->bhwd", cond, M)
+        tex = jnp.tanh(tex + 0.15 * jax.random.normal(kd, tex.shape))
     img = tex * alpha + bg * (1.0 - alpha)
     if photo:
         img = photo_augment(ke, img)

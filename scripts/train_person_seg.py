@@ -49,6 +49,10 @@ def main():
                          "assets/matting_gca.npz by default")
     ap.add_argument("--save_every", type=int, default=200,
                     help="checkpoint cadence in steps (0 = only at the end)")
+    ap.add_argument("--real_tex", type=float, default=0.0,
+                    help="fraction of real-photo texture crops in bg/person "
+                         "textures (see synth_background_mix: the 2-image "
+                         "bank memorizes above ~0.2)")
     args = ap.parse_args()
 
     import jax
@@ -110,27 +114,21 @@ def main():
         return alpha, cond
 
     from ipercore_tpu.tools.synth_data import (
-        fractal_noise, photo_augment, synth_background, synth_background_photo)
+        fractal_noise, person_texture_mix, photo_augment, synth_background_mix)
 
     def make_batch(key):
         """Sim2real scene generator (round-3 upgrade, VERDICT r2 Weak#2):
-        photo-statistics backgrounds (fractal textures + clutter), textured
-        person with fractal shading, contact shadow under the person,
-        camera-pipeline augmentation of the COMPOSITE, person-free hard
-        negatives, and person-shaped distractor blobs labeled background."""
+        real-photo texture crops + photo-statistics backgrounds
+        (`synth_background_mix`), person clothed half the time in REAL
+        texture crops (`person_texture_mix` — otherwise 'looks photographic'
+        separates fg from bg and the net rejects real people), contact
+        shadow, camera-pipeline augmentation of the COMPOSITE, person-free
+        hard negatives, and person-shaped distractor blobs labeled
+        background."""
         ks = jax.random.split(key, 12)
         alpha, cond = render_alpha(ks[0])
-        # mix old procedural plates (25%) with photo-statistics plates (75%)
-        bg_old = synth_background(ks[1], B, S)
-        bg_photo = synth_background_photo(ks[2], B, S)
-        use_photo = jax.random.bernoulli(ks[3], 0.75, (B, 1, 1, 1))
-        bg = jnp.where(use_photo, bg_photo, bg_old)
-
-        # person texture: per-part linear color transform + fractal shading
-        M = jax.random.uniform(ks[4], (B, 3, 3), minval=-1, maxval=1)
-        tex = jnp.einsum("bhwc,bcd->bhwd", cond, M)
-        shade = fractal_noise(ks[5], B, S, 1) * 0.35
-        tex = jnp.tanh(tex + shade + 0.1 * jax.random.normal(ks[6], (B, S, S, 3)))
+        bg = synth_background_mix(ks[1], B, S, real_frac=args.real_tex)
+        tex = person_texture_mix(ks[4], cond, B, S, real_frac=args.real_tex)
 
         # person-free hard negatives (12%): everything is background
         drop = jax.random.bernoulli(ks[7], 0.12, (B, 1, 1, 1)).astype(jnp.float32)

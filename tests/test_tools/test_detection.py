@@ -205,3 +205,35 @@ def test_pose_person_boxes_gating():
 
     out = pose_person_boxes(frames, pose2d=TooFew())
     assert all(len(b) == 0 for b in out)
+
+
+def test_person_components_scoring_prefers_person_shape():
+    """`person_components` must rank a tall solid blob above a wide flat one
+    (pavement/hedge) and above scattered speckle, even when the flat blob is
+    larger — the failure mode that full-mask `mask_is_compact` gating had."""
+    from ipercore_tpu.tools.detection import person_components
+
+    prob = np.zeros((128, 128), np.float32)
+    prob[20:90, 40:60] = 0.95     # person-ish: 70x20, ar 3.5
+    prob[100:110, 5:125] = 0.9    # pavement: 10x120, ar 0.08 (bigger area)
+    boxes, scores = person_components(prob, min_area=32)
+    assert len(boxes) == 2
+    x0, y0, x1, y1 = boxes[0]
+    assert 35 <= x0 <= 45 and 15 <= y0 <= 25  # the tall blob wins
+    assert scores[0] > 3 * scores[1]
+
+
+def test_merge_aligned_components_recovers_split_person():
+    """A torso and legs split by a bright waistline share a column range and
+    must merge; an off-column blob must not."""
+    from ipercore_tpu.tools.detection import (_merge_aligned_components,
+                                              person_components)
+
+    prob = np.zeros((128, 128), np.float32)
+    prob[10:50, 40:60] = 0.95    # torso
+    prob[55:100, 42:58] = 0.9    # legs (same columns)
+    prob[60:80, 100:120] = 0.9   # unrelated blob to the right
+    boxes, scores = person_components(prob, min_area=32)
+    merged = _merge_aligned_components(boxes, scores)
+    assert merged[1] <= 10 and merged[3] >= 100      # spans torso+legs rows
+    assert merged[0] >= 35 and merged[2] <= 65       # excludes the side blob
