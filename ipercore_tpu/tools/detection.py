@@ -586,6 +586,12 @@ def detect_person_boxes(
                               and cb[k][1] < seed[3] and cb[k][3] > seed[1])]
                 if inside:
                     cb, cs = cb[inside], cs[inside]
+            # confidence gate: a weak best component (score ~ mean-prob ×
+            # fill × aspect × √area; a clear person at work=256 scores
+            # 15-35, texture blobs 0-5) must not preempt the pose2d /
+            # color-model fallbacks
+            if cs[0] < 6.0:
+                continue
             coarse[i] = _merge_aligned_components(cb, cs) * s
             got[i] = True
         if got.sum() >= min_hits:
@@ -596,12 +602,13 @@ def detect_person_boxes(
             refined, ok = seg.zoom_refine(frames, coarse)
             boxes = np.where(ok[:, None], refined, coarse)
             # sanity: refined boxes must localize (not ~full frame) and be
-            # non-degenerate
+            # PLAUSIBLY PERSON-SIZED — zoom refinement on a weak mask can
+            # collapse to a sliver, which is worse than the pose2d/color
+            # fallbacks it would preempt
             wfrac = (boxes[:, 2] - boxes[:, 0]) / W
             hfrac = (boxes[:, 3] - boxes[:, 1]) / H
             good = (wfrac < 0.95) | (hfrac < 0.95)
-            good &= (boxes[:, 2] - boxes[:, 0]) > 4
-            good &= (boxes[:, 3] - boxes[:, 1]) > 4
+            good &= (wfrac > 0.02) & (hfrac > 0.08)
             if good.sum() >= min_hits:
                 gidx = np.where(good)[0]
                 nearest = gidx[np.abs(

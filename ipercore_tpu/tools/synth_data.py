@@ -310,20 +310,44 @@ def _blur3(x: jnp.ndarray, strength: jnp.ndarray) -> jnp.ndarray:
     return x + strength * (b - x)
 
 
-def photo_augment(key, img: jnp.ndarray) -> jnp.ndarray:
-    """Camera-pipeline augmentation: blur, per-channel color jitter, gamma,
-    vignette, sensor noise — the photometric gap between clean renders and
-    photographs. img (B, H, W, C) in [-1, 1]."""
-    b, h, w_, _ = img.shape
-    k = jax.random.split(key, 6)
-    img = _blur3(img, jax.random.uniform(k[0], (b, 1, 1, 1), minval=0.0, maxval=1.0))
+def photo_augment(key, img: jnp.ndarray, strength: float = 1.0) -> jnp.ndarray:
+    """Camera-pipeline augmentation: resolution jitter, blur, per-channel
+    color jitter, grayscale mixing, gamma, posterization, vignette, sensor
+    noise — the photometric gap between clean renders and photographs.
+    Measured on the bundled real media, sim2real transfer of nets trained on
+    these scenes peaks early then decays as they overfit clean-render
+    statistics; heavier invariance pressure here moves the synthetic optimum
+    toward the photo domain. img (B, H, W, C) in [-1, 1]."""
+    b, h, w_, c = img.shape
+    k = jax.random.split(key, 10)
+    # resolution jitter: blend with 1/2- and 1/4-res reconstructions (real
+    # video frames at detection work-res are soft; renders are pixel-crisp)
+    lo2 = jax.image.resize(jax.image.resize(
+        img, (b, h // 2, w_ // 2, c), "linear"), (b, h, w_, c), "linear")
+    lo4 = jax.image.resize(jax.image.resize(
+        img, (b, h // 4, w_ // 4, c), "linear"), (b, h, w_, c), "linear")
+    w2 = jax.random.uniform(k[6], (b, 1, 1, 1)) ** 2 * strength
+    w4 = jax.random.uniform(k[7], (b, 1, 1, 1)) ** 3 * strength
+    img = img * (1 - w2 - w4 * 0.5) + lo2 * w2 + lo4 * (w4 * 0.5)
+    img = _blur3(img, jax.random.uniform(k[0], (b, 1, 1, 1), minval=0.0,
+                                         maxval=min(1.0, strength)))
     scale = jax.random.uniform(k[1], (b, 1, 1, 3), minval=0.7, maxval=1.3)
     shift = jax.random.uniform(k[2], (b, 1, 1, 3), minval=-0.15, maxval=0.15)
     img = img * scale + shift
+    # grayscale mixing: force shape cues over color identity
+    g = jnp.mean(img, axis=-1, keepdims=True)
+    a = jax.random.uniform(k[8], (b, 1, 1, 1), minval=0.0,
+                           maxval=0.6 * strength)
+    img = img * (1 - a) + g * a
     # gamma in [0.7, 1.4] applied in [0, 1] space
     gamma = jax.random.uniform(k[3], (b, 1, 1, 1), minval=0.7, maxval=1.4)
     img01 = jnp.clip((img + 1) * 0.5, 1e-4, 1.0)
     img = jnp.power(img01, gamma) * 2.0 - 1.0
+    # posterization (codec-ish quantization), q levels in [8, 40]
+    q = jax.random.uniform(k[9], (b, 1, 1, 1), minval=8.0, maxval=40.0)
+    post = jnp.round((img + 1.0) * 0.5 * q) / q * 2.0 - 1.0
+    use_post = (jax.random.uniform(k[9], (b, 1, 1, 1)) < 0.4 * strength)
+    img = jnp.where(use_post, post, img)
     # vignette
     yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w_),
                           indexing="ij")
