@@ -36,8 +36,12 @@ AKUN_RAW = os.path.join(REPO, "real_media_run/primitives/akun_1/processed/raw")
 # GT person boxes as (x0, y0, x1, y1) fractions of (W, H), hand-annotated.
 GT = {
     "trump_still": (STILL, (0.33, 0.18, 0.51, 0.95)),
+    "akun_f030": (os.path.join(AKUN_RAW, "frame_00000030.png"),
+                  (0.31, 0.26, 0.63, 0.97)),
     "akun_f100": (os.path.join(AKUN_RAW, "frame_00000100.png"),
                   (0.31, 0.20, 0.63, 0.98)),
+    "akun_f180": (os.path.join(AKUN_RAW, "frame_00000180.png"),
+                  (0.31, 0.19, 0.55, 1.0)),
 }
 
 
