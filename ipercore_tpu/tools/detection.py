@@ -163,7 +163,8 @@ class PersonDetector:
 
 
 def person_components(prob: np.ndarray, min_area: int = 32,
-                      aspect_mu: float = 2.2, aspect_sigma: float = 0.6
+                      aspect_mu: float = 2.2, aspect_sigma: float = 0.6,
+                      aspect_scale: float = 1.0
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Score connected components of a segmentation probability map by
     person-likeness. The score is
@@ -176,23 +177,43 @@ def person_components(prob: np.ndarray, min_area: int = 32,
     a correct person component survives false-positive texture blobs
     elsewhere in the frame.
 
+    Each component is scored against its OWN label mask (not the union mask
+    within its bbox), so adjacent large blobs cannot inflate a component's
+    fill/confidence. `aspect_scale` maps the working-grid aspect back to the
+    source-image aspect when the grid was non-uniformly resized (a crop of
+    aspect ch/cw squashed to a square has aspect_scale = ch/cw).
+
     Args: prob (H, W) float in [0, 1].
     Returns (boxes (K, 4) xyxy float, scores (K,)), sorted by score desc.
     """
+    from scipy import ndimage
+
     m = _clean(prob > 0.5)
-    boxes = connected_component_boxes(m, min_area=min_area)
-    if not len(boxes):
-        return boxes, np.zeros((0,), np.float32)
-    scores = []
-    for b in boxes:
-        x0, y0, x1, y1 = b.astype(int)
-        sub = m[y0:y1, x0:x1]
-        fill = float(sub.mean())
-        conf = float(prob[y0:y1, x0:x1][sub].mean()) if sub.any() else 0.0
-        ar = (y1 - y0) / max(x1 - x0, 1)
+    labels, n_comp = ndimage.label(m, structure=np.ones((3, 3), np.int32))
+    if n_comp == 0:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+    slices = ndimage.find_objects(labels)
+    boxes, scores = [], []
+    for ci, sl in enumerate(slices):
+        if sl is None:
+            continue
+        ysl, xsl = sl
+        comp = labels[ysl, xsl] == (ci + 1)
+        area = int(comp.sum())
+        if area < min_area:
+            continue
+        y0, y1 = ysl.start, ysl.stop
+        x0, x1 = xsl.start, xsl.stop
+        fill = area / comp.size
+        conf = float(prob[ysl, xsl][comp].mean())
+        ar = (y1 - y0) / max(x1 - x0, 1) * aspect_scale
         ar_s = float(np.exp(-0.5 * ((np.log(max(ar, 1e-3))
                                      - np.log(aspect_mu)) / aspect_sigma) ** 2))
-        scores.append(conf * fill * ar_s * float(np.sqrt(sub.sum())))
+        boxes.append([x0, y0, x1, y1])
+        scores.append(conf * fill * ar_s * float(np.sqrt(area)))
+    if not boxes:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+    boxes = np.asarray(boxes, np.float32)
     scores = np.asarray(scores, np.float32)
     order = np.argsort(-scores)
     return boxes[order], scores[order]
@@ -290,7 +311,11 @@ class SegmentationDetector:
             small = np.stack([_resize(c[None], self.work)[0] for c in crops])
             probs = self.run_probs_pre(small)
             for i in range(len(frames)):
-                cb, cs = person_components(probs[i], min_area=min_area)
+                # the crop (ch × cw) was squashed to a square working grid;
+                # evaluate the aspect prior in source coords, not grid coords
+                asc = geoms[i][3] / max(geoms[i][2], 1e-6)
+                cb, cs = person_components(probs[i], min_area=min_area,
+                                           aspect_scale=asc)
                 if not len(cb):
                     ok[i] = False
                     continue
@@ -561,9 +586,18 @@ def detect_person_boxes(
     min_hits = max(1, len(frames) // 2)
     H, W = frames.shape[1], frames.shape[2]
 
-    pose_seeds = pose_person_boxes(frames, pose2d=pose2d)
+    # pose seeds cost an OpenPose forward per frame — compute them only when
+    # a consumer actually needs them (seg seeding, or the pose fallback)
+    _pose_cache = {}
+
+    def get_pose_seeds():
+        if "v" not in _pose_cache:
+            _pose_cache["v"] = pose_person_boxes(frames, pose2d=pose2d)
+        return _pose_cache["v"]
+
     seg_boxes = None
     if seg.available:
+        pose_seeds = get_pose_seeds()
         # person-likeness component scoring per frame, seeded by the pose
         # skeleton box when one exists (two independent trained signals),
         # then zoom refinement at the segmenter's training scale.
@@ -615,23 +649,16 @@ def detect_person_boxes(
                     gidx[None, :] - np.arange(len(boxes))[:, None]).argmin(1)]
                 seg_boxes = boxes[nearest]
 
-    tracked = track_person_boxes(frames)
     if seg_boxes is not None:
-        if tracked is not None:
-            # cross-check the union boxes (Weak#5: a moving camera smears
-            # the median background into confidently wrong boxes; the
-            # zoom-verified segmentation is primary either way)
-            def union(a):
-                return np.asarray([a[:, 0].min(), a[:, 1].min(),
-                                   a[:, 2].max(), a[:, 3].max()])
-
-            if _iou(union(tracked), union(seg_boxes)) >= 0.3:
-                return seg_boxes, "person_seg+median_bg"
+        # the zoom-verified segmentation is primary; the median-background
+        # cross-check only renamed the provenance label and cost a full
+        # detector pass, so it is skipped here
         return seg_boxes, "person_seg"
+    tracked = track_person_boxes(frames)
     if tracked is not None:
         return tracked, "median_bg"
 
-    pose_boxes = _track_per_frame(pose_seeds, min_hits)
+    pose_boxes = _track_per_frame(get_pose_seeds(), min_hits)
     cm_boxes = _track_per_frame(still_person_boxes(frames), min_hits)
     if pose_boxes is not None and cm_boxes is not None:
         # the skeleton box localizes the person; the color model sees full

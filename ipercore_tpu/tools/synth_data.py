@@ -319,7 +319,7 @@ def photo_augment(key, img: jnp.ndarray, strength: float = 1.0) -> jnp.ndarray:
     statistics; heavier invariance pressure here moves the synthetic optimum
     toward the photo domain. img (B, H, W, C) in [-1, 1]."""
     b, h, w_, c = img.shape
-    k = jax.random.split(key, 10)
+    k = jax.random.split(key, 11)
     # resolution jitter: blend with 1/2- and 1/4-res reconstructions (real
     # video frames at detection work-res are soft; renders are pixel-crisp)
     lo2 = jax.image.resize(jax.image.resize(
@@ -346,7 +346,7 @@ def photo_augment(key, img: jnp.ndarray, strength: float = 1.0) -> jnp.ndarray:
     # posterization (codec-ish quantization), q levels in [8, 40]
     q = jax.random.uniform(k[9], (b, 1, 1, 1), minval=8.0, maxval=40.0)
     post = jnp.round((img + 1.0) * 0.5 * q) / q * 2.0 - 1.0
-    use_post = (jax.random.uniform(k[9], (b, 1, 1, 1)) < 0.4 * strength)
+    use_post = (jax.random.uniform(k[10], (b, 1, 1, 1)) < 0.4 * strength)
     img = jnp.where(use_post, post, img)
     # vignette
     yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w_),

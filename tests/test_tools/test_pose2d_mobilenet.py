@@ -98,8 +98,9 @@ def test_coco18_targets_decode_back():
 def test_mobilenet_runner_body25_contract(tmp_path):
     """Runner returns Body-25 slots with a synthesized mid-hip."""
     runner_mod = pytest.importorskip("ipercore_tpu.tools.pose2d_mobilenet")
-    runner = runner_mod.MobilenetOpenPoseRunner(input_size=64)
-    assert not runner.trained  # no weights in tmp env
+    runner = runner_mod.MobilenetOpenPoseRunner(
+        input_size=64, weights_path=str(tmp_path / "absent.npz"))
+    assert not runner.trained  # isolated from shipped assets
 
     kps18 = np.random.RandomState(1).uniform(-0.5, 0.5, (3, 18, 2)).astype(np.float32)
     scores18 = np.full((3, 18), 0.9, np.float32)
