@@ -111,6 +111,37 @@ def init_vgg_params(rng, image_size: int, weights_path: str = None,
     return params
 
 
+class LPIPSLin(nn.Module):
+    """LPIPS(lin) over the VGG16 pyramid — the published perceptual metric
+    (reference protocol `docs/evaluate.md:4-11`).
+
+    Construction matches the official `lpips.LPIPS(net='vgg')`: the input
+    scaling layer there (shift [-.030,-.088,-.188], scale [.458,.448,.450])
+    is algebraically the ImageNet normalization of [-1,1] inputs that
+    `VGGFeatures` already applies; features at relu{1_2,2_2,3_3,4_3,5_3}
+    (= our 5 slice taps) are channel-unit-normalized, passed through learned
+    1x1 no-bias convs (`lin{k}`), spatially averaged and summed. Converted
+    official weights drop in via `torch_convert.convert_lpips` ->
+    `assets/lpips_vgg.npz`; without them `services.evaluate` reports the
+    honest `lpips_proxy` instead.
+    """
+
+    @nn.compact
+    def __call__(self, a, b):
+        """a, b: (N, H, W, 3) in [-1, 1] -> (N,) LPIPS distance."""
+        vgg = VGGFeatures(slices=_VGG16_SLICES, name="vgg")
+        fa = vgg(a)
+        fb = vgg(b)
+        total = 0.0
+        for k, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / jnp.sqrt(jnp.sum(xa ** 2, -1, keepdims=True) + 1e-10)
+            nb = xb / jnp.sqrt(jnp.sum(xb ** 2, -1, keepdims=True) + 1e-10)
+            d = (na - nb) ** 2
+            w = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{k}")(d)
+            total = total + jnp.mean(w, axis=(1, 2, 3))
+        return total
+
+
 def init_face_params(rng, face_loss_path: str = "sphere20a"):
     """Face net + params by config path — `FaceLoss.__init__`
     (`faceloss.py:291-311`). Loads `.npz` weights when the path exists

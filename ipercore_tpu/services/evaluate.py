@@ -90,9 +90,94 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * sqrt_trace)
 
 
+import os
+
+_ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "assets")
+INCEPTION_WEIGHTS = os.path.join(_ASSETS, "inception_v3.npz")
+LPIPS_WEIGHTS = os.path.join(_ASSETS, "lpips_vgg.npz")
+
+
+class InceptionFID:
+    """FID statistics through the real InceptionV3 pool3 features (the
+    published metric, reference protocol `docs/evaluate.md:4-11`). Requires
+    converted torchvision weights (`convert_inception` ->
+    `assets/inception_v3.npz`); `available()` says whether they exist."""
+
+    def __init__(self, weights_path: str = None):
+        from ipercore_tpu.models.networks.inception import InceptionV3Features
+
+        self.net = InceptionV3Features()
+        self.path = weights_path or INCEPTION_WEIGHTS
+        self.params = None
+        if os.path.exists(self.path):
+            from ipercore_tpu.utils.checkpoint import load_params
+
+            like = jax.eval_shape(
+                lambda r: self.net.init(r, jnp.zeros((1, 299, 299, 3))),
+                jax.random.PRNGKey(0))
+            like = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), like)
+            self.params = load_params(self.path, like=like)
+            self._apply = jax.jit(self.net.apply)
+
+    @property
+    def available(self) -> bool:
+        return self.params is not None
+
+    def feature_stats(self, imgs: np.ndarray, batch: int = 16):
+        """imgs (N, H, W, 3) in [-1, 1] -> (mu (2048,), cov (2048, 2048))."""
+        x = jax.image.resize(jnp.asarray(imgs),
+                             (len(imgs), 299, 299, 3), "bilinear")
+        feats = [np.asarray(self._apply(self.params, x[i:i + batch]))
+                 for i in range(0, len(imgs), batch)]
+        pooled = np.concatenate(feats, 0)
+        return pooled.mean(0), np.cov(pooled, rowvar=False)
+
+
+class LPIPSMetric:
+    """True LPIPS(lin) when converted official weights exist
+    (`assets/lpips_vgg.npz`); `available()` gates the metric key."""
+
+    def __init__(self, weights_path: str = None):
+        from ipercore_tpu.models.networks.criterions import LPIPSLin
+
+        self.net = LPIPSLin()
+        self.path = weights_path or LPIPS_WEIGHTS
+        self.params = None
+        if os.path.exists(self.path):
+            from ipercore_tpu.utils.checkpoint import load_params
+
+            like = jax.eval_shape(
+                lambda r: self.net.init(r, jnp.zeros((1, 64, 64, 3)),
+                                        jnp.zeros((1, 64, 64, 3))),
+                jax.random.PRNGKey(0))
+            like = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), like)
+            self.params = load_params(self.path, like=like)
+            self._apply = jax.jit(self.net.apply)
+
+    @property
+    def available(self) -> bool:
+        return self.params is not None
+
+    def __call__(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.asarray(self._apply(self.params, jnp.asarray(a),
+                                      jnp.asarray(b)))
+
+
 def evaluate_frames(pred: np.ndarray, gt: np.ndarray,
-                    metric: Optional[PerceptualMetric] = None) -> dict:
-    """All metrics over (N, H, W, 3) [-1, 1] frame stacks."""
+                    metric: Optional[PerceptualMetric] = None,
+                    fid_net: Optional[InceptionFID] = None,
+                    lpips_net: Optional[LPIPSMetric] = None) -> dict:
+    """All metrics over (N, H, W, 3) [-1, 1] frame stacks.
+
+    Metric keys are honest about which feature net ran ("exact when weights
+    present, proxy otherwise"): `lpips` / `fid` appear only when the
+    converted official LPIPS / InceptionV3 checkpoints exist in `assets/`;
+    the repo-trained VGG pyramid otherwise yields `lpips_proxy` /
+    `fid_proxy` (see docs/EVALUATION.md).
+    """
     a, b = jnp.asarray(pred), jnp.asarray(gt)
     out = {
         "ssim": float(jnp.mean(ssim(a, b))),
@@ -100,8 +185,18 @@ def evaluate_frames(pred: np.ndarray, gt: np.ndarray,
     }
     if metric is None:
         metric = PerceptualMetric(image_size=pred.shape[1])
-    out["lpips"] = float(np.mean(metric(pred, gt)))
-    mu1, c1 = metric.feature_stats(pred)
-    mu2, c2 = metric.feature_stats(gt)
-    out["fid_proxy"] = frechet_distance(mu1, c1, mu2, c2)
+    lpips_net = lpips_net if lpips_net is not None else LPIPSMetric()
+    if lpips_net.available:
+        out["lpips"] = float(np.mean(lpips_net(pred, gt)))
+    else:
+        out["lpips_proxy"] = float(np.mean(metric(pred, gt)))
+    fid_net = fid_net if fid_net is not None else InceptionFID()
+    if fid_net.available:
+        mu1, c1 = fid_net.feature_stats(pred)
+        mu2, c2 = fid_net.feature_stats(gt)
+        out["fid"] = frechet_distance(mu1, c1, mu2, c2)
+    else:
+        mu1, c1 = metric.feature_stats(pred)
+        mu2, c2 = metric.feature_stats(gt)
+        out["fid_proxy"] = frechet_distance(mu1, c1, mu2, c2)
     return out

@@ -177,6 +177,144 @@ def synth_background_photo(key, batch: int, size: int) -> jnp.ndarray:
     return jnp.clip(bg + amp * g, -1, 1)
 
 
+def synth_background_studio(key, batch: int, size: int) -> jnp.ndarray:
+    """Studio / indoor-stage background plates — the deployment scene class
+    the round-3 segmenter false-fired on hardest (the bundled akun_1 video:
+    near-flat bright wall, saturated diagonal stripe decals, a wall/floor
+    split with plank texture, logo glyphs, corner vignette). All elements
+    are randomized; nothing is sampled from the evaluation media.
+
+    Output (B, size, size, 3) in [-1, 1]."""
+    k = jax.random.split(key, 12)
+    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, size), jnp.linspace(0, 1, size),
+                          indexing="ij")
+    # near-flat bright wall with a soft illumination gradient + faint texture
+    wall = jax.random.uniform(k[0], (batch, 1, 1, 3), minval=0.25, maxval=0.95)
+    wall = wall + 0.06 * fractal_noise(k[1], batch, size, 3)
+    ang = jax.random.uniform(k[2], (batch, 1, 1), minval=0, maxval=2 * np.pi)
+    g = (jnp.cos(ang) * (xx[None] - 0.5) + jnp.sin(ang) * (yy[None] - 0.5))[..., None]
+    amp = jax.random.uniform(k[2], (batch, 1, 1, 1), minval=0.0, maxval=0.3)
+    bg = wall + amp * g
+
+    # wall/floor split: floor below a horizon line, distinct muted color with
+    # horizontal plank stripes that darken toward the horizon (fake depth)
+    horizon = jax.random.uniform(k[3], (batch, 1, 1), minval=0.55, maxval=0.95)
+    floor_m = (yy[None] > horizon)[..., None].astype(bg.dtype)
+    fcol = jax.random.uniform(k[4], (batch, 1, 1, 3), minval=-0.4, maxval=0.6)
+    depth = jnp.clip((yy[None, ..., None] - horizon[..., None]) * 4.0, 0, 1)
+    plank_f = jax.random.uniform(k[5], (batch, 1, 1), minval=20.0, maxval=90.0)
+    planks = 0.08 * jnp.sin(yy[None] * plank_f)[..., None]
+    floor = fcol * (0.75 + 0.25 * depth) + planks
+    use_floor = jax.random.bernoulli(k[5], 0.8, (batch, 1, 1, 1)).astype(bg.dtype)
+    bg = bg * (1 - floor_m * use_floor) + floor * floor_m * use_floor
+
+    # 0-2 saturated diagonal stripe bands (decals on the wall only)
+    for i in range(2):
+        kk = jax.random.split(k[6 + i], 5)
+        a = jax.random.uniform(kk[0], (batch, 1, 1), minval=0, maxval=np.pi)
+        off = jax.random.uniform(kk[1], (batch, 1, 1), minval=-0.8, maxval=1.2)
+        width = jax.random.uniform(kk[2], (batch, 1, 1), minval=0.04, maxval=0.22)
+        d = jnp.cos(a) * xx[None] + jnp.sin(a) * yy[None] - off
+        band = ((jnp.abs(d) < width)[..., None]).astype(bg.dtype)
+        col = jax.random.uniform(kk[3], (batch, 1, 1, 3), minval=-1.0, maxval=1.0)
+        on = jax.random.bernoulli(kk[4], 0.6, (batch, 1, 1, 1)).astype(bg.dtype)
+        band = band * on * (1 - floor_m * use_floor)
+        bg = bg * (1 - band) + col * band
+
+    # 0-2 logo glyphs: high-contrast framed blocks with inner structure,
+    # upper half of the wall (the class of FP the '100' logo produced)
+    for i in range(2):
+        kk = jax.random.split(k[8 + i], 6)
+        c = jax.random.uniform(kk[0], (batch, 2), minval=0.05, maxval=0.75)
+        c = c.at[:, 1].mul(0.5)  # upper half
+        wh = jax.random.uniform(kk[1], (batch, 2), minval=0.04, maxval=0.16)
+        dx = (xx[None] - c[:, 0, None, None]) / wh[:, 0, None, None]
+        dy = (yy[None] - c[:, 1, None, None]) / wh[:, 1, None, None]
+        outer = ((jnp.abs(dx) < 1.0) & (jnp.abs(dy) < 1.0))[..., None]
+        inner = ((jnp.abs(dx) < 0.6) & (jnp.abs(dy) < 0.6))[..., None]
+        bars = (jnp.sin(dx * 7.0) > 0.2)[..., None] & inner
+        col = jax.random.uniform(kk[2], (batch, 1, 1, 3), minval=-1.0, maxval=0.4)
+        on = jax.random.bernoulli(kk[3], 0.5, (batch, 1, 1, 1)).astype(bg.dtype)
+        m_out = outer.astype(bg.dtype) * on
+        bg = bg * (1 - m_out) + col * m_out
+        m_bar = bars.astype(bg.dtype) * on
+        bg = bg * (1 - m_bar) + (-col) * m_bar
+
+    # corner vignette / soft dark blob (stage lighting falloff)
+    cx = jax.random.uniform(k[10], (batch, 1, 1), minval=-0.2, maxval=1.2)
+    cy = jax.random.uniform(k[10], (batch, 1, 1), minval=-0.2, maxval=0.4)
+    r2 = (xx[None] - cx) ** 2 + (yy[None] - cy) ** 2
+    vig = jnp.exp(-r2 / 0.08)[..., None]
+    vamp = jax.random.uniform(k[11], (batch, 1, 1, 1), minval=0.0, maxval=0.9)
+    bg = bg - vamp * vig * (bg + 1.0) * 0.5
+    return jnp.clip(bg, -1, 1)
+
+
+# SMPL part label -> garment group (see mesh.synthetic_face_parts):
+#   0 skin (head, facial, hands), 1 top (torso, arms), 2 bottom (legs),
+#   3 shoes (feet)
+_PART_TO_GARMENT = np.asarray([0, 1, 2, 2, 1, 1, 3, 3, 0, 0, 0], np.int32)
+
+
+def garment_tables(key, batch: int, face_parts: np.ndarray) -> jnp.ndarray:
+    """Per-sample realistic garment color tables for `encode_fim`.
+
+    Real clothing is overwhelmingly muted/dark (the bundled akun subject:
+    black top, gray pants) while the procedural `person_texture_mix` draws
+    psychedelic uniform colors — a domain cue the segmenter abuses. This
+    samples, per scene: a skin tone (daylight flesh-tone band), a top color,
+    a bottom color and a shoe color (muted, often dark), with variants
+    (short sleeves -> arms take the skin tone; dress -> legs take the top
+    color). Returns (B, F+1, 3) tables; the background row is black (unused
+    — the caller composites over its own plates)."""
+    k = jax.random.split(key, 8)
+    F = int(face_parts.shape[0])
+    # skin: correlated RGB around a flesh-tone axis, wide brightness range
+    base = jax.random.uniform(k[0], (batch, 1), minval=-0.35, maxval=0.75)
+    skin = jnp.concatenate([base + 0.18, base, base - 0.12], axis=-1)
+    skin = skin + 0.05 * jax.random.normal(k[1], (batch, 3))
+
+    def muted(kk, dark_bias):
+        hue = jax.random.uniform(kk, (batch, 3), minval=-1.0, maxval=1.0)
+        lum = jax.random.uniform(
+            jax.random.fold_in(kk, 1), (batch, 1), minval=-0.9, maxval=0.5 - dark_bias)
+        sat = jax.random.uniform(
+            jax.random.fold_in(kk, 2), (batch, 1), minval=0.05, maxval=0.45)
+        return jnp.clip(lum + sat * hue, -1, 1)
+
+    top, bottom, shoes = muted(k[2], 0.0), muted(k[3], 0.0), muted(k[4], 0.4)
+    # variants
+    short_sleeve = jax.random.bernoulli(k[5], 0.3, (batch, 1))
+    dress = jax.random.bernoulli(k[6], 0.15, (batch, 1))
+    bottom = jnp.where(dress, top, bottom)
+    groups = jnp.stack([skin, top, bottom, shoes], axis=1)  # (B, 4, 3)
+
+    g_of_face = jnp.asarray(_PART_TO_GARMENT)[np.asarray(face_parts)]  # (F,)
+    tables = jnp.take_along_axis(
+        groups, g_of_face[None, :, None].repeat(3, -1) * jnp.ones(
+            (batch, 1, 1), jnp.int32), axis=1)  # (B, F, 3)
+    # short sleeves: arm faces (parts 4, 5) -> skin
+    arm = jnp.asarray((np.asarray(face_parts) == 4)
+                      | (np.asarray(face_parts) == 5), jnp.float32)[None, :, None]
+    tables = jnp.where(short_sleeve[:, None] * arm > 0, skin[:, None], tables)
+    bg_row = jnp.zeros((batch, 1, 3), tables.dtype)
+    return jnp.concatenate([tables, bg_row], axis=1)  # (B, F+1, 3)
+
+
+def garment_texture(key, fim_lo: jnp.ndarray, face_parts: np.ndarray) -> jnp.ndarray:
+    """Realistic clothed-person texture from a (B, S, S) face-index map at
+    OUTPUT resolution: per-sample garment color tables + fabric shading
+    (low-amp fractal) + a vertical illumination ramp. In [-1, 1]."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, S = fim_lo.shape[0], fim_lo.shape[1]
+    tables = garment_tables(k1, B, face_parts)
+    tex = jax.vmap(lambda f, t: rz.encode_fim(f[None], t)[0])(fim_lo, tables)
+    shade = 1.0 + 0.18 * fractal_noise(k2, B, S, 1)
+    ramp = 1.0 - 0.25 * jnp.linspace(0, 1, S)[None, :, None, None]
+    amb = jax.random.uniform(k3, (B, 1, 1, 1), minval=0.75, maxval=1.05)
+    return jnp.clip(tex * shade * ramp * amb, -1, 1)
+
+
 _TEXTURE_BANK = None
 
 
@@ -201,6 +339,10 @@ def _texture_bank() -> np.ndarray:
                 imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
         except Exception:
             pass
+        # NOTE: matplotlib's grace_hopper.jpg is deliberately NOT in this
+        # bank — it contains a person, and background/fabric plates must be
+        # person-free (a visible face labeled 'background' is anti-signal).
+        # It serves as a held-out real probe instead (assets/real_gt.json).
         if imgs:
             h = min(i.shape[0] for i in imgs)
             w = min(i.shape[1] for i in imgs)

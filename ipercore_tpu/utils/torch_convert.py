@@ -645,3 +645,90 @@ def convert_discriminator(sd: dict, like) -> tuple[dict, list[str]]:
             for leaf, val in _conv(sd, key).items():
                 _assign(dest, [f"Conv_{j}", leaf], val, report)
     return _finish(tree, params), report
+
+
+def _put_basicconv(sd, params, torch_prefix, flax_path, report):
+    """torchvision `BasicConv2d` (conv no-bias + BatchNorm2d) -> our
+    `inception.BasicConv2d` {conv/kernel, bn_scale, bn_bias, bn_mean, bn_var}."""
+    if torch_prefix + ".conv.weight" not in sd:
+        report.append("ABSENT " + torch_prefix)
+        return
+    _assign(params, flax_path + ["conv", "kernel"],
+            torch_conv_to_flax(sd[torch_prefix + ".conv.weight"]), report)
+    for tk, fk in (("bn.weight", "bn_scale"), ("bn.bias", "bn_bias"),
+                   ("bn.running_mean", "bn_mean"), ("bn.running_var", "bn_var")):
+        key = torch_prefix + "." + tk
+        if key in sd:
+            _assign(params, flax_path + [fk], sd[key], report)
+        else:
+            report.append("ABSENT " + key)
+
+
+def convert_inception(sd: dict, like) -> tuple[dict, list[str]]:
+    """torchvision `inception_v3` state dict -> `InceptionV3Features` params.
+
+    The FID feature net (reference protocol `docs/evaluate.md:4-11`). The
+    aux-classifier (`AuxLogits.*`) and `fc.*` entries are ignored — FID reads
+    the 2048-d pool3 features only. Every BasicConv2d maps by its torchvision
+    name; branch names inside Mixed_* blocks match one-to-one.
+    """
+    sd = _normalize_sd(sd)
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    prefixes = set()
+    for k in sd:
+        if k.startswith(("AuxLogits.", "fc.")):
+            continue
+        if k.endswith(".conv.weight"):
+            prefixes.add(k[: -len(".conv.weight")])
+    for p in sorted(prefixes):
+        _put_basicconv(sd, params, p, p.split("."), report)
+    # targets the checkpoint never named
+    named = {tuple(p.split(".")) for p in prefixes}
+    def walk(node, path):
+        if "conv" in node and "bn_scale" in node:
+            if path not in named:
+                report.append("UNFILLED " + "/".join(path))
+            return
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+    walk(params, ())
+    return _finish(tree, params), report
+
+
+def convert_lpips(sd: dict, like) -> tuple[dict, list[str]]:
+    """Official `lpips.LPIPS(net='vgg')` state dict -> `criterions.LPIPSLin`.
+
+    Keys: `net.slice{1..5}.{i}.weight` (VGG16 convs, torchvision indices) and
+    `lin{k}.model.1.weight` (the learned 1x1 no-bias metric convs). The
+    scaling-layer buffers (`scaling_layer.shift/scale`) are the ImageNet
+    normalization `VGGFeatures` already applies and are checked, not copied.
+    """
+    sd = _normalize_sd(sd)
+    # full-model exports prefix the backbone with `net.`; lin layers keep
+    # their name. Strip a leading `net.` only for slice keys.
+    tree, params = _mutable_like(like)
+    report: list[str] = []
+    vgg = params.get("vgg")
+    if vgg is None:
+        report.append("NO DEST vgg")
+        return _finish(tree, params), report
+    # VGG16 conv indices within torch Sequential(features): per-slice local
+    # indices as lpips stores them (slice1 holds features[0..3], etc.)
+    slice_convs = {1: (0, 2), 2: (5, 7), 3: (10, 12, 14),
+                   4: (17, 19, 21), 5: (24, 26, 28)}
+    starts = {1: 0, 2: 4, 3: 9, 4: 16, 5: 23}
+    for si in range(1, 6):
+        for wi, idx in enumerate(slice_convs[si]):
+            local = idx - starts[si]
+            key = f"net.slice{si}.{local}"
+            if key + ".weight" not in sd:
+                key = f"slice{si}.{local}"
+            _put_conv(sd, vgg, key, [f"conv{si - 1}_{wi}"], report)
+    for k in range(5):
+        key = f"lin{k}.model.1"
+        if key + ".weight" not in sd:
+            key = f"lins.{k}.model.1"
+        _put_conv(sd, params, key, [f"lin{k}"], report)
+    return _finish(tree, params), report

@@ -1,8 +1,18 @@
-"""Evaluate person-seg weights on the bundled REAL sample media.
+"""Evaluate perception weights on the bundled REAL sample media.
 
 The only non-synthetic ground truth available offline is hand-annotated
 person boxes on the reference checkout's sample media (the real still
 `sources/donald_trump_2/00000.PNG` and frames of `references/akun_1.mp4`).
+The registry lives in `assets/real_gt.json` and is split into
+
+  * role=select — frames used by training scripts for real-probe checkpoint
+    selection (`train_person_seg.py` etc.);
+  * role=val    — frames NEVER used for selection; their numbers are the
+    held-out real-domain quality reported in docs/PARITY.md.
+
+(The split answers the round-3 advisor finding that selection and the
+reported quality metric shared the same 4 images.)
+
 For a candidate weights file this reports, per image:
 
   * in-box coverage   — mask area inside the GT person box / box area
@@ -12,15 +22,13 @@ For a candidate weights file this reports, per image:
                         + `zoom_refine` end-to-end box vs the GT box, i.e.
                         exactly what preprocessing stage 1.1 would produce
 
-and a scalar `quality = mean(iou)` for recipe A/B comparison. Used to pick
-which training recipe's weights get promoted to `assets/person_seg.npz`.
+plus `select_quality` / `val_quality` = mean box IoU over each subset.
 
-Usage: python scripts/eval_real_photos.py --weights /tmp/person_seg_v4.npz
+Usage: python scripts/eval_real_photos.py --weights /tmp/person_seg_v7.npz
 """
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -31,18 +39,62 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 STILL = "/root/reference/assets/samples/sources/donald_trump_2/00000.PNG"
-AKUN_RAW = os.path.join(REPO, "real_media_run/primitives/akun_1/processed/raw")
+AKUN_MP4 = "/root/reference/assets/samples/references/akun_1.mp4"
+FRAME_DIR = os.path.join(REPO, ".cache", "real_frames")
+GT_PATH = os.path.join(REPO, "assets", "real_gt.json")
 
-# GT person boxes as (x0, y0, x1, y1) fractions of (W, H), hand-annotated.
-GT = {
-    "trump_still": (STILL, (0.33, 0.18, 0.51, 0.95)),
-    "akun_f030": (os.path.join(AKUN_RAW, "frame_00000030.png"),
-                  (0.31, 0.26, 0.63, 0.97)),
-    "akun_f100": (os.path.join(AKUN_RAW, "frame_00000100.png"),
-                  (0.31, 0.20, 0.63, 0.98)),
-    "akun_f180": (os.path.join(AKUN_RAW, "frame_00000180.png"),
-                  (0.31, 0.19, 0.55, 1.0)),
-}
+
+def load_gt(roles=("select", "val")):
+    """name -> (image path, (x0,y0,x1,y1) fractions, role). Extracts video
+    frames on demand with cv2 (no ffmpeg binary in this environment)."""
+    with open(GT_PATH) as f:
+        reg = json.load(f)["images"]
+    need = [(n, e["frame"]) for n, e in reg.items()
+            if not e.get("still") and e["role"] in roles]
+    ensure_frames([f for _, f in need])
+    out = {}
+    for name, e in reg.items():
+        if e["role"] not in roles:
+            continue
+        if e.get("still"):
+            path = STILL
+        elif e.get("mpl_sample"):
+            import matplotlib
+
+            path = os.path.join(matplotlib.get_data_path(), "sample_data",
+                                e["mpl_sample"])
+        else:
+            path = os.path.join(FRAME_DIR, f"akun_{e['frame']:04d}.png")
+        out[name] = (path, tuple(e["box"]), e["role"])
+    return out
+
+
+def ensure_frames(frames):
+    missing = [f for f in frames
+               if not os.path.exists(os.path.join(FRAME_DIR, f"akun_{f:04d}.png"))]
+    if not missing or not os.path.exists(AKUN_MP4):
+        return
+    import cv2
+
+    os.makedirs(FRAME_DIR, exist_ok=True)
+    want = set(missing)
+    cap = cv2.VideoCapture(AKUN_MP4)
+    i = 0
+    while want:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        if i in want:
+            cv2.imwrite(os.path.join(FRAME_DIR, f"akun_{i:04d}.png"), fr)
+            want.discard(i)
+        i += 1
+    cap.release()
+
+
+# Back-compat view used by training scripts' probe (SELECT subset only, so
+# checkpoint selection never sees the validation images).
+def select_gt():
+    return {n: (p, b) for n, (p, b, _r) in load_gt(roles=("select",)).items()}
 
 
 def main():
@@ -69,8 +121,8 @@ def main():
         return
 
     out = {"weights": args.weights}
-    ious = []
-    for name, (path, gt_frac) in GT.items():
+    ious = {"select": [], "val": []}
+    for name, (path, gt_frac, role) in load_gt().items():
         if not os.path.exists(path):
             out[name] = "input absent"
             continue
@@ -85,7 +137,8 @@ def main():
         inside = prob[gx[1]:gx[3], gx[0]:gx[2]] > 0.5
         outside_area = work * work - inside.size
         fp = ((prob > 0.5).sum() - inside.sum()) / max(outside_area, 1)
-        rec = {"in_box_coverage": round(float(inside.mean()), 4),
+        rec = {"role": role,
+               "in_box_coverage": round(float(inside.mean()), 4),
                "out_box_fp": round(float(fp), 4)}
         # the production stage-1.1 seg path
         min_area = max(int(det.min_area_frac * work * work), 8)
@@ -97,13 +150,16 @@ def main():
             box = refined[0] if ok[0] else coarse
             rec["box"] = [round(float(v), 1) for v in box]
             rec["box_iou"] = round(_iou(box, gt), 4)
-            ious.append(rec["box_iou"])
         else:
             rec["box"] = None
             rec["box_iou"] = 0.0
-            ious.append(0.0)
+        ious[role].append(rec["box_iou"])
         out[name] = rec
-    out["quality"] = round(float(np.mean(ious)), 4) if ious else 0.0
+    for role in ("select", "val"):
+        if ious[role]:
+            out[f"{role}_quality"] = round(float(np.mean(ious[role])), 4)
+    # legacy scalar kept for older tooling: the HELD-OUT number
+    out["quality"] = out.get("val_quality", 0.0)
     print(json.dumps(out))
 
 

@@ -53,6 +53,10 @@ def main():
                     help="fraction of real-photo texture crops in bg/person "
                          "textures (see synth_background_mix: the 2-image "
                          "bank memorizes above ~0.2)")
+    ap.add_argument("--recipe", choices=("v6", "v7"), default="v7",
+                    help="v7 (round 4): studio backgrounds + realistic "
+                         "garment textures + boundary/FP-weighted loss + "
+                         "box-IoU probe; v6 reproduces the round-3 recipe")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +91,8 @@ def main():
     map_fn = assets.map_fn
 
     def render_alpha(key):
-        """(B,) random SMPL scenes -> soft alpha (B, S, S, 1), cond (B, S, S, 3)."""
+        """(B,) random SMPL scenes -> soft alpha (B, S, S, 1), cond (B, S, S, 3),
+        plus the supersampled face-index map (B, R, R) for garment texturing."""
         k1, k2, k3, k4 = jax.random.split(key, 4)
         theta = jnp.zeros((B, 85))
         # low end 0.35: far-shot people (a 1080p dance video at detection
@@ -113,24 +118,39 @@ def main():
         cond_hi = rz.encode_fim(fim, map_fn)  # (B, R, R, 3)
         cond = jax.lax.reduce_window(
             cond_hi, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
-        return alpha, cond
+        return alpha, cond, fim
 
     from ipercore_tpu.tools.synth_data import (
-        fractal_noise, person_texture_mix, photo_augment, synth_background_mix)
+        _downsample2, fractal_noise, garment_texture, person_texture_mix,
+        photo_augment, synth_background_mix, synth_background_studio)
+
+    v7 = args.recipe == "v7"
 
     def make_batch(key):
-        """Sim2real scene generator (round-3 upgrade, VERDICT r2 Weak#2):
+        """Sim2real scene generator. v6 (round 3, VERDICT r2 Weak#2):
         real-photo texture crops + photo-statistics backgrounds
         (`synth_background_mix`), person clothed half the time in REAL
         texture crops (`person_texture_mix` — otherwise 'looks photographic'
         separates fg from bg and the net rejects real people), contact
         shadow, camera-pipeline augmentation of the COMPOSITE, person-free
         hard negatives, and person-shaped distractor blobs labeled
-        background."""
-        ks = jax.random.split(key, 12)
-        alpha, cond = render_alpha(ks[0])
+        background. v7 (round 4, VERDICT r3 Missing#1) additionally mixes
+        40% studio/stage backgrounds (`synth_background_studio` — the akun
+        deployment scene class) and clothes the person half the time in
+        realistic muted garments (`garment_texture`)."""
+        ks = jax.random.split(key, 16)
+        alpha, cond, fim = render_alpha(ks[0])
         bg = synth_background_mix(ks[1], B, S, real_frac=args.real_tex)
         tex = person_texture_mix(ks[4], cond, B, S, real_frac=args.real_tex)
+        if v7:
+            studio = synth_background_studio(ks[12], B, S)
+            use_studio = jax.random.bernoulli(
+                ks[14], 0.4, (B, 1, 1, 1)).astype(jnp.float32)
+            bg = bg * (1 - use_studio) + studio * use_studio
+            garm = _downsample2(garment_texture(ks[13], fim, assets.face_parts))
+            use_garm = jax.random.bernoulli(
+                ks[15], 0.5, (B, 1, 1, 1)).astype(jnp.float32)
+            tex = tex * (1 - use_garm) + garm * use_garm
 
         # person-free hard negatives (12%): everything is background
         drop = jax.random.bernoulli(ks[7], 0.12, (B, 1, 1, 1)).astype(jnp.float32)
@@ -175,7 +195,18 @@ def main():
 
     def loss_fn(params, img, alpha, hard):
         logits = seg.apply(params["seg"], img)
-        bce = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, hard))
+        if v7:
+            # boundary-weighted, FP-weighted BCE: background pixels cost
+            # 2x (the round-3 failure was halo/texture false positives) and
+            # silhouette-boundary pixels 3x (sharper edges -> tighter boxes)
+            from ipercore_tpu.ops.morphology import dilate, erode
+
+            band = dilate(hard, 5) - erode(hard, 5)
+            w = 1.0 + 1.0 * (1.0 - hard) + 2.0 * band
+            bce = jnp.mean(w * optax.sigmoid_binary_cross_entropy(logits, hard)
+                           ) / jnp.mean(w)
+        else:
+            bce = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, hard))
         p = jax.nn.sigmoid(logits)
         inter = jnp.sum(p * hard, axis=(1, 2, 3))
         dice = 1.0 - jnp.mean((2 * inter + 1.0) /
@@ -203,23 +234,23 @@ def main():
             else np.asarray(x), params)
         save_params(path, f16)
 
-    # VALIDATION-BASED CHECKPOINT SELECTION on the bundled real sample media
-    # (scripts/eval_real_photos.GT). Sim2real transfer is non-monotone in
-    # training steps — the net over-sharpens onto the procedural domain (a
-    # 4000-step run hit 0.21 person-mask coverage on the real still; the
-    # same recipe at 6000 steps fell to 0.08) — so each periodic checkpoint
-    # is scored on the real validation images (in-GT-box coverage minus
-    # 2x out-of-box false-positive rate) and `args.out` keeps the BEST one.
-    # These images are validation inputs for model selection, never trained
-    # on; see docs/PARITY.md.
+    # REAL-PROBE CHECKPOINT SELECTION on the bundled real sample media.
+    # Sim2real transfer is non-monotone in training steps — the net
+    # over-sharpens onto the procedural domain (a 4000-step run hit 0.21
+    # person-mask coverage on the real still; the same recipe at 6000 steps
+    # fell to 0.08) — so each periodic checkpoint is scored on the real
+    # SELECT-subset images (in-GT-box coverage minus 2x out-of-box
+    # false-positive rate) and `args.out` keeps the BEST one. The held-out
+    # val subset (incl. the trump still) is NEVER seen here; its numbers are
+    # reported by scripts/eval_real_photos.py (see assets/real_gt.json).
     probe_imgs = []
     if not args.smoke:
         try:
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from eval_real_photos import GT
+            from eval_real_photos import select_gt
             from PIL import Image
 
-            for _name, (path, frac) in GT.items():
+            for _name, (path, frac) in select_gt().items():
                 if os.path.exists(path):
                     im = Image.open(path).convert("RGB")
                     arr = np.asarray(im).astype(np.float32) / 127.5 - 1.0
@@ -233,6 +264,9 @@ def main():
     seg_apply = jax.jit(seg.apply)
 
     def probe(params) -> float:
+        """Checkpoint-selection score on the SELECT real images. v7: mean of
+        the stage-1.1 component-path box IoU (the actual product metric) and
+        (coverage - 2*fp); v6: coverage - 2*fp only."""
         if not probe_imgs:
             return 0.0
         qs = []
@@ -242,7 +276,16 @@ def main():
             m = prob > 0.5
             inside = m[g[1]:g[3], g[0]:g[2]]
             fp = (m.sum() - inside.sum()) / max(m.size - inside.size, 1)
-            qs.append(float(inside.mean()) - 2.0 * float(fp))
+            q = float(inside.mean()) - 2.0 * float(fp)
+            if v7:
+                from ipercore_tpu.tools.detection import (
+                    _iou, _merge_aligned_components, person_components)
+
+                cb, cs = person_components(prob, min_area=32)
+                iou = (_iou(_merge_aligned_components(cb, cs),
+                            np.asarray(g, np.float32)) if len(cb) else 0.0)
+                q = iou + 0.25 * q
+            qs.append(q)
         return float(np.mean(qs))
 
     key = jax.random.PRNGKey(42)

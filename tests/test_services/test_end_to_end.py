@@ -170,9 +170,13 @@ def test_evaluator_metrics(opt):
     m = evaluate_frames(noise, a)
     m_self = evaluate_frames(a, a)
     assert m_self["ssim"] > 0.999
-    assert m_self["lpips"] < 1e-5
+    # metric keys are honest: exact `lpips`/`fid` only with converted
+    # official weights in assets/, `*_proxy` otherwise
+    lk = "lpips" if "lpips" in m_self else "lpips_proxy"
+    assert m_self[lk] < 1e-5
     assert m["ssim"] < m_self["ssim"]
-    assert np.isfinite(m["fid_proxy"])
+    fk = "fid" if "fid" in m else "fid_proxy"
+    assert np.isfinite(m[fk])
 
 
 def test_swapper_end_to_end(opt, pipeline):
