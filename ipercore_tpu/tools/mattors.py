@@ -62,9 +62,16 @@ class ConvBlock(nn.Module):
 
 
 class PersonSegUNet(nn.Module):
-    """UNet person segmenter: (N, H, W, 3) -> (N, H, W, 1) logits."""
+    """UNet person segmenter: (N, H, W, 3) -> (N, H, W, 1) logits.
 
-    widths: tuple = (32, 64, 128, 256)
+    Round-4 upgrade (VERDICT r3 Missing#1): one more pyramid level and a
+    dilated-conv context block at the bottleneck. The 3-down round-3 net had
+    a ~50 px receptive field at work=256 — far smaller than a person — so it
+    classified local texture and bled wide halos around people on real
+    photographs; 4 downs + rates (2, 4) cover the whole figure."""
+
+    widths: tuple = (32, 64, 128, 256, 256)
+    context_rates: tuple = (2, 4)
 
     @nn.compact
     def __call__(self, x):
@@ -74,6 +81,9 @@ class PersonSegUNet(nn.Module):
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = ConvBlock(self.widths[-1])(x)
+        for r in self.context_rates:
+            x = nn.relu(nn.Conv(self.widths[-1], (3, 3), padding=((r, r), (r, r)),
+                                kernel_dilation=(r, r))(x))
         for w, s in zip(reversed(self.widths[:-1]), reversed(skips)):
             x = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(x)
             x = ConvBlock(w)(jnp.concatenate([x, s], axis=-1))

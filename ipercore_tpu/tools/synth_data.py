@@ -503,13 +503,19 @@ def photo_augment(key, img: jnp.ndarray, strength: float = 1.0) -> jnp.ndarray:
 def compose_scene(key, model, assets, batch: int, size: int,
                   pose_std: float = 0.25, yaw: bool = True,
                   noise: float = 0.05, photo: bool = True,
-                  real_frac: float = 0.0) -> SceneBatch:
+                  real_frac: float = 0.0, studio_frac: float = 0.0,
+                  garment_frac: float = 0.0) -> SceneBatch:
     """Full labeled scene batch at `size`, rendered supersampled 2x.
 
     photo=True (default, round-3 sim2real upgrade): 75% photo-statistics
     backgrounds, fractal person shading, contact shadow, and the
     camera-pipeline augmentation — the domain-randomization stack that
-    makes perception nets trained here transfer to photographs."""
+    makes perception nets trained here transfer to photographs.
+
+    studio_frac / garment_frac (round-4 v7 upgrades): fraction of scenes
+    with studio/stage backgrounds (`synth_background_studio`) and of people
+    clothed in realistic muted garments (`garment_texture`) — the recipe
+    that lifted the person segmenter's real-photo box IoU (docs/PARITY.md)."""
     ka, kb, kc, kd, ke, kf, kg, kh, ki = jax.random.split(key, 9)
     theta = make_theta(ka, batch, pose_std=pose_std, yaw=yaw)
     details = smpl_mod.get_details(model, theta)
@@ -519,11 +525,22 @@ def compose_scene(key, model, assets, batch: int, size: int,
     cond = _downsample2(rz.encode_fim(fim, assets.map_fn))
     if photo:
         bg = synth_background_mix(kb, batch, size, real_frac=real_frac)
-        del kf, kg  # folded into the mix
+        if studio_frac > 0.0:
+            studio = synth_background_studio(kf, batch, size)
+            use_st = jax.random.bernoulli(
+                jax.random.fold_in(kf, 1), studio_frac,
+                (batch, 1, 1, 1)).astype(jnp.float32)
+            bg = bg * (1 - use_st) + studio * use_st
     else:
         bg = synth_background(kb, batch, size)
     if photo:
         tex = person_texture_mix(kc, cond, batch, size, real_frac=real_frac)
+        if garment_frac > 0.0:
+            garm = _downsample2(garment_texture(kg, fim, assets.face_parts))
+            use_g = jax.random.bernoulli(
+                jax.random.fold_in(kg, 1), garment_frac,
+                (batch, 1, 1, 1)).astype(jnp.float32)
+            tex = tex * (1 - use_g) + garm * use_g
         # contact shadow under the person
         sh = jnp.roll(alpha, (size // 32, size // 24), axis=(1, 2))
         sh = jax.lax.reduce_window(sh, 0.0, jax.lax.add,

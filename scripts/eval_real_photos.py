@@ -49,9 +49,9 @@ def load_gt(roles=("select", "val")):
     frames on demand with cv2 (no ffmpeg binary in this environment)."""
     with open(GT_PATH) as f:
         reg = json.load(f)["images"]
-    need = [(n, e["frame"]) for n, e in reg.items()
-            if not e.get("still") and e["role"] in roles]
-    ensure_frames([f for _, f in need])
+    need = [e["frame"] for e in reg.values()
+            if "frame" in e and e["role"] in roles]
+    ensure_frames(need)
     out = {}
     for name, e in reg.items():
         if e["role"] not in roles:

@@ -44,6 +44,10 @@ def main():
                          "lightweight COCO-18 variant")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--studio_frac", type=float, default=0.35,
+                    help="fraction of studio/stage backgrounds (v7 sim2real)")
+    ap.add_argument("--garment_frac", type=float, default=0.5,
+                    help="fraction of realistic muted garment textures (v7)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--pool", type=int, default=0,
                     help="pre-render this many scenes once and augment per "
@@ -89,7 +93,9 @@ def main():
         args.out = "/tmp/openpose_smoke.npz"  # never clobber shipped weights
 
     def render_scene(key):
-        sb = sd.compose_scene(key, model, assets, batch=B, size=S)
+        sb = sd.compose_scene(key, model, assets, batch=B, size=S,
+                              studio_frac=args.studio_frac,
+                              garment_frac=args.garment_frac)
         x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear")
         return x, sb.j2d
 

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "assets", "spin.npz"))
     ap.add_argument("--resume", action="store_true",
                     help="initialize from an existing --out checkpoint")
+    ap.add_argument("--studio_frac", type=float, default=0.35,
+                    help="fraction of studio/stage backgrounds (v7 sim2real)")
+    ap.add_argument("--garment_frac", type=float, default=0.5,
+                    help="fraction of realistic muted garment textures (v7)")
     ap.add_argument("--smoke", action="store_true", help="tiny run (CI)")
     args = ap.parse_args()
 
@@ -77,7 +81,9 @@ def main():
     std = jnp.asarray([0.229, 0.224, 0.225])
 
     def make_batch(key):
-        sb = sd.compose_scene(key, model, assets, batch=B, size=S)
+        sb = sd.compose_scene(key, model, assets, batch=B, size=S,
+                              studio_frac=args.studio_frac,
+                              garment_frac=args.garment_frac)
         x = jax.image.resize(sb.img, (B, HMR_IMG_SIZE, HMR_IMG_SIZE, 3), "linear")
         x = ((x + 1.0) * 0.5 - mean) / std  # SPINRunner.run preprocessing
         return x, sb.theta, sb.j2d

@@ -154,8 +154,13 @@ def test_detect_person_boxes_still_photo_real():
     assert boxes is not None and method != "none"
     x0, y0, x1, y1 = boxes[0]
     assert (x1 - x0) * (y1 - y0) < 0.8 * H * W  # not the full frame
-    # contains the person (they stand around x in [250, 470], y in [110, 660])
-    assert x0 < 300 and x1 > 430 and y0 < 160 and y1 > 600
+    # overlaps the hand-annotated GT person box (assets/real_gt.json,
+    # trump_still) with decent IoU — the round-4 promotion gate is measured
+    # by scripts/eval_real_photos.py; this is the regression floor
+    gt = np.asarray([0.33 * W, 0.17 * H, 0.52 * W, 0.94 * H])
+    from ipercore_tpu.tools.detection import _iou
+
+    assert _iou(np.asarray([x0, y0, x1, y1]), gt) > 0.55, (boxes[0], gt)
 
 
 def test_pose_person_boxes_gating():
