@@ -97,10 +97,94 @@ def select_gt():
     return {n: (p, b) for n, (p, b, _r) in load_gt(roles=("select",)).items()}
 
 
+def _square_crop(arr: np.ndarray, box_px, margin: float = 0.15):
+    """GT-box square crop with margin — the framing stage 1.2 would feed the
+    pose nets given a correct detection. Returns (crop, (x0, y0, side))."""
+    H, W = arr.shape[:2]
+    x0, y0, x1, y1 = box_px
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    side = max(x1 - x0, y1 - y0) * (1 + margin)
+    x0, y0 = cx - side / 2, cy - side / 2
+    xi, yi = int(max(x0, 0)), int(max(y0, 0))
+    xj, yj = int(min(x0 + side, W)), int(min(y0 + side, H))
+    crop = arr[yi:yj, xi:xj]
+    s = max(crop.shape[0], crop.shape[1])
+    pad = np.zeros((s, s, 3), arr.dtype)
+    pad[:crop.shape[0], :crop.shape[1]] = crop
+    return pad, (xi, yi, s)
+
+
+def eval_pose(gt):
+    """OpenPose PCK@0.1 + SPIN reprojection error on the kps25-annotated
+    real images (VERDICT r3 item 4: real-domain metrics for every shipped
+    perception net, next to the synthetic holdouts)."""
+    import jax
+
+    from PIL import Image
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.tools.pose2d import build_pose2d_estimator
+    from ipercore_tpu.tools.pose3d import SPINRunner
+    from ipercore_tpu.tools.synth_data import body25_from_cocoplus
+
+    pose2d = build_pose2d_estimator()
+    spin = SPINRunner()
+    model = smpl_mod.template_model()
+    out = {}
+    for name, (path, frac, role) in gt.items():
+        import json as _json
+
+        with open(GT_PATH) as f:
+            entry = _json.load(f)["images"][name]
+        if "kps25" not in entry or not os.path.exists(path):
+            continue
+        im = Image.open(path).convert("RGB")
+        arr = np.asarray(im).astype(np.float32) / 127.5 - 1.0
+        H, W = arr.shape[:2]
+        box = np.asarray([frac[0] * W, frac[1] * H, frac[2] * W, frac[3] * H])
+        crop, (cx0, cy0, side) = _square_crop(arr, box)
+        ids = np.asarray(sorted(int(k) for k in entry["kps25"]), np.int64)
+        gt_px = np.asarray([entry["kps25"][str(i)] for i in ids], np.float32)
+        gt_px = gt_px * np.asarray([W, H], np.float32)
+        thr = 0.1 * (box[3] - box[1])  # PCK@0.1 of person height
+        rec = {"role": role, "n_joints": int(len(ids))}
+
+        def to_px(kps_ndc):
+            return (kps_ndc + 1.0) * 0.5 * side + np.asarray([cx0, cy0])
+
+        if getattr(pose2d, "trained", False):
+            c368 = np.asarray(jax.image.resize(
+                jax.numpy.asarray(crop[None]), (1, 368, 368, 3), "linear"))
+            kps, scores, _ = pose2d.run_tracked(c368, smooth=False)
+            px = to_px(kps[0][ids])
+            err = np.linalg.norm(px - gt_px, axis=-1)
+            rec["pose2d_pck01"] = round(float((err < thr).mean()), 4)
+            rec["pose2d_err_frac"] = round(
+                float(err.mean() / (box[3] - box[1])), 4)
+        if getattr(spin, "trained", False):
+            c224 = np.asarray(jax.image.resize(
+                jax.numpy.asarray(crop[None]), (1, 224, 224, 3), "linear"))
+            theta = spin.run(c224)
+            det = smpl_mod.get_details(model, jax.numpy.asarray(theta))
+            b25, valid = body25_from_cocoplus(det["j2d"])
+            sel = np.asarray(b25)[0][ids]
+            vmask = np.asarray(valid)[ids] > 0
+            px = to_px(sel[vmask])
+            err = np.linalg.norm(px - gt_px[vmask], axis=-1)
+            rec["spin_pck01"] = round(float((err < thr).mean()), 4)
+            rec["spin_err_frac"] = round(
+                float(err.mean() / (box[3] - box[1])), 4)
+        out[name] = rec
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", type=str,
                     default=os.path.join(REPO, "assets", "person_seg.npz"))
+    ap.add_argument("--pose", action="store_true",
+                    help="also report OpenPose PCK@0.1 + SPIN reprojection "
+                         "on the kps25-annotated images")
     args = ap.parse_args()
 
     import jax
@@ -160,6 +244,8 @@ def main():
             out[f"{role}_quality"] = round(float(np.mean(ious[role])), 4)
     # legacy scalar kept for older tooling: the HELD-OUT number
     out["quality"] = out.get("val_quality", 0.0)
+    if args.pose:
+        out["pose"] = eval_pose(load_gt())
     print(json.dumps(out))
 
 
