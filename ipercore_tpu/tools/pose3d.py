@@ -214,16 +214,27 @@ class GMMPosePrior(NamedTuple):
     log_nll_weights: jnp.ndarray
 
 
+GMM_DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(SPIN_DEFAULT_WEIGHTS), "gmm_prior.npz")
+
+
 def load_gmm_prior(path: str) -> Optional[GMMPosePrior]:
-    """Load the SMPLify `gmm_08.pkl` (dict with means/covars/weights) into a
-    GMMPosePrior; None when the file is absent (it requires a download)."""
+    """Load a GMM pose prior into a GMMPosePrior; None when absent.
+
+    Accepts either the SMPLify `gmm_08.pkl` (dict with means/covars/weights;
+    requires a download this environment lacks) or this repo's
+    `assets/gmm_prior.npz` (same three arrays, fit from the natural-pose
+    mixture by scripts/fit_gmm_prior.py)."""
     import os
     import pickle
 
     if not path or not os.path.exists(path):
         return None
-    with open(path, "rb") as f:
-        gmm = pickle.load(f, encoding="latin1")
+    if path.endswith(".npz"):
+        gmm = dict(np.load(path))
+    else:
+        with open(path, "rb") as f:
+            gmm = pickle.load(f, encoding="latin1")
     means = np.asarray(gmm["means"], np.float64)
     covs = np.asarray(gmm["covars"], np.float64)
     weights = np.asarray(gmm["weights"], np.float64)
@@ -242,11 +253,11 @@ def _build_gmm_prior(means, covs, weights) -> GMMPosePrior:
     )
 
 
-def fit_gmm_prior(samples: np.ndarray, k: int = 8, iters: int = 20,
-                  reg: float = 1e-4, seed: int = 0) -> GMMPosePrior:
-    """Fit a k-component prior from pose samples (k-means + per-cluster full
-    covariance) — stands in for the downloadable gmm_08.pkl when training a
-    prior from one's own mocap poses."""
+def fit_gmm_raw(samples: np.ndarray, k: int = 8, iters: int = 20,
+                reg: float = 1e-4, seed: int = 0):
+    """K-means + per-cluster full covariance fit; returns the raw
+    (means, covs, weights) arrays (the `gmm_08.pkl` layout, serializable by
+    scripts/fit_gmm_prior.py)."""
     rng = np.random.RandomState(seed)
     x = np.asarray(samples, np.float64)
     n, d = x.shape
@@ -268,7 +279,15 @@ def fit_gmm_prior(samples: np.ndarray, k: int = 8, iters: int = 20,
             c = np.cov(sel.T) + np.eye(d) * reg
             covs.append(c)
         weights.append(max(len(sel), 1) / n)
-    return _build_gmm_prior(centers, np.stack(covs), np.asarray(weights))
+    return centers, np.stack(covs), np.asarray(weights)
+
+
+def fit_gmm_prior(samples: np.ndarray, k: int = 8, iters: int = 20,
+                  reg: float = 1e-4, seed: int = 0) -> GMMPosePrior:
+    """Fit a k-component prior from pose samples (k-means + per-cluster full
+    covariance) — stands in for the downloadable gmm_08.pkl when training a
+    prior from one's own mocap poses."""
+    return _build_gmm_prior(*fit_gmm_raw(samples, k, iters, reg, seed))
 
 
 def gmm_prior_nll(prior: GMMPosePrior, body_pose: jnp.ndarray) -> jnp.ndarray:

@@ -197,7 +197,8 @@ class Preprocessor:
             import jax
             import jax.numpy as jnp
 
-            from ipercore_tpu.tools.pose3d import smplify_refine
+            from ipercore_tpu.tools.pose3d import (
+                GMM_DEFAULT_WEIGHTS, load_gmm_prior, smplify_refine)
 
             if self.smoke:
                 # default camera-centered thetas: keeps the pipeline exact in
@@ -231,10 +232,17 @@ class Preprocessor:
                     else:
                         kps19, conf19 = body25_to_cocoplus(kps, scores * valid)
                     init_theta = theta
+                    # max-mixture pose prior when shipped (fit from the
+                    # natural-pose mixture, scripts/fit_gmm_prior.py — the
+                    # reference's gmm_08.pkl role): the pose term then pulls
+                    # toward plausible human poses instead of anchoring to
+                    # the SPIN init's mistakes on photographs
+                    prior = load_gmm_prior(GMM_DEFAULT_WEIGHTS)
                     # np.array (copy): asarray of a jax array is read-only
                     theta = np.array(smplify_refine(
                         self.body_model, jnp.asarray(theta),
-                        jnp.asarray(kps19), jnp.asarray(conf19)))
+                        jnp.asarray(kps19), jnp.asarray(conf19),
+                        prior=prior))
                     # outlier SMPLify results fall back to the SPIN init
                     # (`smooth.py:223-251`)
                     from ipercore_tpu.utils.smoothing import pose_temporal_smooth

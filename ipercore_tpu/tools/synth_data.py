@@ -42,19 +42,95 @@ class SceneBatch(NamedTuple):
     j2d: jnp.ndarray     # (B, 19, 2) cocoplus joints, NDC (x right, y down)
 
 
+# SMPL joint ids (parent-relative axis-angle triplets in pose[3*j : 3*j+3]).
+_J_LHIP, _J_RHIP, _J_LKNEE, _J_RKNEE = 1, 2, 4, 5
+_J_LANK, _J_RANK, _J_SPINE = 7, 8, (3, 6, 9)
+_J_NECK, _J_LCOLL, _J_RCOLL, _J_HEAD = 12, 13, 14, 15
+_J_LSH, _J_RSH, _J_LELB, _J_RELB = 16, 17, 18, 19
+
+
+def natural_pose(key, batch: int) -> jnp.ndarray:
+    """Sample 72-dim SMPL body poses from a hand-built *natural-stance* prior.
+
+    The isotropic N(0, pose_std) prior in `make_theta` is centered on the
+    SMPL zero pose — a T-pose with arms horizontal. A person standing with
+    arms at their sides (the dominant pose in photographs, e.g. the bundled
+    real sample media) is ~5 sigma outside that prior at the shoulders, so
+    perception nets trained on it never see ordinary standing/walking people
+    (round-4 real-probe PCK@0.1: OpenPose 0.0-0.23, SPIN 0.0-0.08 — the SMPL
+    fit the reference gets from its mocap-pretrained SPIN checkpoint,
+    `spin/runner.py:198`, comes from exactly this kind of pose prior).
+
+    Built as arms-down adduction (shoulder z; sign verified by rendering in
+    this repo's flipped frame: L +, R -) with independently jittered elbow
+    flexion, walk/dance swing at hips+knees (sagittal x, sign-preserved under
+    the frame flip), spine/neck sway, and a small isotropic floor. Angles are
+    in the repo's convention = reference SMPL values with y/z negated
+    (template flipped 180 deg about x, `models/smpl.py:template_model`).
+    """
+    ks = jax.random.split(key, 12)
+    pose = 0.06 * jax.random.normal(ks[0], (batch, 72))
+
+    def setj(p, j, axis, val):
+        return p.at[:, 3 * j + axis].set(val + p[:, 3 * j + axis])
+
+    # shoulders: arms down (adduction about z), [~A-pose .. tight at sides].
+    # The synthesized smooth skinning dilutes bone rotation (~0.55x at the
+    # visual arm), so tight-at-sides needs ~2.0-2.3 rad (render-calibrated).
+    add = jax.random.uniform(ks[1], (batch, 2), minval=0.8, maxval=2.3)
+    pose = setj(pose, _J_LSH, 2, add[:, 0])
+    pose = setj(pose, _J_RSH, 2, -add[:, 1])
+    pose = setj(pose, _J_LCOLL, 2, 0.12 * jax.random.uniform(ks[2], (batch,)))
+    pose = setj(pose, _J_RCOLL, 2, -0.12 * jax.random.uniform(ks[2], (batch,)))
+    # elbows: flexion about y (repo frame), 0 (straight) .. 1.6 (hands up)
+    elb = jnp.abs(0.45 * jax.random.normal(ks[3], (batch, 2))) \
+        + jax.random.uniform(ks[4], (batch, 2), maxval=0.35)
+    pose = setj(pose, _J_LELB, 1, elb[:, 0])
+    pose = setj(pose, _J_RELB, 1, -elb[:, 1])
+    # walk/dance leg swing: hips sagittal (x), opposite-ish phase + noise
+    swing = 0.35 * jax.random.normal(ks[5], (batch,))
+    hip_n = 0.15 * jax.random.normal(ks[6], (batch, 2))
+    pose = setj(pose, _J_LHIP, 0, swing + hip_n[:, 0])
+    pose = setj(pose, _J_RHIP, 0, -swing + hip_n[:, 1])
+    # knees: one-sided flexion (x >= 0)
+    knee = jnp.abs(0.4 * jax.random.normal(ks[7], (batch, 2)))
+    pose = setj(pose, _J_LKNEE, 0, knee[:, 0])
+    pose = setj(pose, _J_RKNEE, 0, knee[:, 1])
+    pose = setj(pose, _J_LANK, 0, 0.15 * jax.random.normal(ks[8], (batch,)))
+    pose = setj(pose, _J_RANK, 0, 0.15 * jax.random.normal(ks[8], (batch,)))
+    # torso sway + head turn
+    for j in _J_SPINE:
+        pose = pose.at[:, 3 * j: 3 * j + 3].add(
+            0.07 * jax.random.normal(jax.random.fold_in(ks[9], j), (batch, 3)))
+    pose = pose.at[:, 3 * _J_NECK: 3 * _J_NECK + 3].add(
+        0.1 * jax.random.normal(ks[10], (batch, 3)))
+    pose = pose.at[:, 3 * _J_HEAD: 3 * _J_HEAD + 3].add(
+        0.1 * jax.random.normal(ks[11], (batch, 3)))
+    return pose
+
+
 def make_theta(key, batch: int, pose_std: float = 0.25, yaw: bool = True,
-               scale_range=(0.55, 1.6), tx_range=0.5) -> jnp.ndarray:
+               scale_range=(0.55, 1.6), tx_range=0.5,
+               natural_frac: float = 0.0) -> jnp.ndarray:
     """Random plausible SMPL thetas.
 
     Global orientation is a full random yaw (so front/back/side views all
     occur — find-front and pose estimation need the full ring) composed with
     the canonical upright flip and a small random tilt.
+
+    natural_frac: fraction of samples drawn from the `natural_pose`
+    arms-down/walking prior instead of the isotropic T-pose-centered one
+    (round-4 sim2real fix — see natural_pose docstring).
     """
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
     scale = jax.random.uniform(k1, (batch, 1), minval=scale_range[0],
                                maxval=scale_range[1])
     txy = jax.random.uniform(k2, (batch, 2), minval=-tx_range, maxval=tx_range)
     pose = jax.random.normal(k3, (batch, 72)) * pose_std
+    if natural_frac > 0.0:
+        nat = natural_pose(k7, batch)
+        use_nat = jax.random.bernoulli(k8, natural_frac, (batch, 1))
+        pose = jnp.where(use_nat, nat, pose)
     beta = jax.random.normal(k4, (batch, 10))
     if yaw:
         # theta == 0 renders upright facing the camera in this repo's
@@ -504,7 +580,8 @@ def compose_scene(key, model, assets, batch: int, size: int,
                   pose_std: float = 0.25, yaw: bool = True,
                   noise: float = 0.05, photo: bool = True,
                   real_frac: float = 0.0, studio_frac: float = 0.0,
-                  garment_frac: float = 0.0) -> SceneBatch:
+                  garment_frac: float = 0.0,
+                  natural_frac: float = 0.0) -> SceneBatch:
     """Full labeled scene batch at `size`, rendered supersampled 2x.
 
     photo=True (default, round-3 sim2real upgrade): 75% photo-statistics
@@ -517,7 +594,8 @@ def compose_scene(key, model, assets, batch: int, size: int,
     clothed in realistic muted garments (`garment_texture`) — the recipe
     that lifted the person segmenter's real-photo box IoU (docs/PARITY.md)."""
     ka, kb, kc, kd, ke, kf, kg, kh, ki = jax.random.split(key, 9)
-    theta = make_theta(ka, batch, pose_std=pose_std, yaw=yaw)
+    theta = make_theta(ka, batch, pose_std=pose_std, yaw=yaw,
+                       natural_frac=natural_frac)
     details = smpl_mod.get_details(model, theta)
     fim = render_fim(model, theta, size * 2, f2uvs=assets.f2uvs, details=details)
     hard_hi = (fim >= 0).astype(jnp.float32)[..., None]

@@ -114,28 +114,22 @@ def _square_crop(arr: np.ndarray, box_px, margin: float = 0.15):
     return pad, (xi, yi, s)
 
 
-def eval_pose(gt):
-    """OpenPose PCK@0.1 + SPIN reprojection error on the kps25-annotated
-    real images (VERDICT r3 item 4: real-domain metrics for every shipped
-    perception net, next to the synthetic holdouts)."""
-    import jax
+def pose_probe_crops(roles=("select",)):
+    """Pose ground truth in CROP coordinates for the kps25-annotated images.
 
+    Returns a list of dicts: crop (S, S, 3) [-1, 1] square person crop (the
+    framing stage 1.2 feeds the pose nets), ids (J,) Body-25 joint ids,
+    gt_ndc (J, 2) keypoints in crop NDC [-1, 1], thr_ndc PCK@0.1 threshold
+    (0.1 person height) in NDC units. Training scripts use roles=("select",)
+    for checkpoint selection; the val images stay held out.
+    """
     from PIL import Image
 
-    from ipercore_tpu.models import smpl as smpl_mod
-    from ipercore_tpu.tools.pose2d import build_pose2d_estimator
-    from ipercore_tpu.tools.pose3d import SPINRunner
-    from ipercore_tpu.tools.synth_data import body25_from_cocoplus
-
-    pose2d = build_pose2d_estimator()
-    spin = SPINRunner()
-    model = smpl_mod.template_model()
-    out = {}
-    for name, (path, frac, role) in gt.items():
-        import json as _json
-
-        with open(GT_PATH) as f:
-            entry = _json.load(f)["images"][name]
+    with open(GT_PATH) as f:
+        reg = json.load(f)["images"]
+    out = []
+    for name, (path, frac, role) in load_gt(roles=roles).items():
+        entry = reg[name]
         if "kps25" not in entry or not os.path.exists(path):
             continue
         im = Image.open(path).convert("RGB")
@@ -146,8 +140,37 @@ def eval_pose(gt):
         ids = np.asarray(sorted(int(k) for k in entry["kps25"]), np.int64)
         gt_px = np.asarray([entry["kps25"][str(i)] for i in ids], np.float32)
         gt_px = gt_px * np.asarray([W, H], np.float32)
-        thr = 0.1 * (box[3] - box[1])  # PCK@0.1 of person height
-        rec = {"role": role, "n_joints": int(len(ids))}
+        gt_ndc = (gt_px - np.asarray([cx0, cy0], np.float32)) / side * 2.0 - 1.0
+        out.append({
+            "name": name, "role": role, "crop": crop, "ids": ids,
+            "gt_ndc": gt_ndc,
+            "thr_ndc": float(0.1 * (box[3] - box[1]) / side * 2.0),
+            "origin": (cx0, cy0, side), "gt_px": gt_px,
+            "person_h_px": float(box[3] - box[1]),
+        })
+    return out
+
+
+def eval_pose(roles=("select", "val")):
+    """OpenPose PCK@0.1 + SPIN reprojection error on the kps25-annotated
+    real images (VERDICT r3 item 4: real-domain metrics for every shipped
+    perception net, next to the synthetic holdouts)."""
+    import jax
+
+    from ipercore_tpu.models import smpl as smpl_mod
+    from ipercore_tpu.tools.pose2d import build_pose2d_estimator
+    from ipercore_tpu.tools.pose3d import SPINRunner
+    from ipercore_tpu.tools.synth_data import body25_from_cocoplus
+
+    pose2d = build_pose2d_estimator()
+    spin = SPINRunner()
+    model = smpl_mod.template_model()
+    out = {}
+    for p in pose_probe_crops(roles=roles):
+        name, crop, ids = p["name"], p["crop"], p["ids"]
+        gt_px, (cx0, cy0, side) = p["gt_px"], p["origin"]
+        thr = 0.1 * p["person_h_px"]
+        rec = {"role": p["role"], "n_joints": int(len(ids))}
 
         def to_px(kps_ndc):
             return (kps_ndc + 1.0) * 0.5 * side + np.asarray([cx0, cy0])
@@ -160,7 +183,7 @@ def eval_pose(gt):
             err = np.linalg.norm(px - gt_px, axis=-1)
             rec["pose2d_pck01"] = round(float((err < thr).mean()), 4)
             rec["pose2d_err_frac"] = round(
-                float(err.mean() / (box[3] - box[1])), 4)
+                float(err.mean() / p["person_h_px"]), 4)
         if getattr(spin, "trained", False):
             c224 = np.asarray(jax.image.resize(
                 jax.numpy.asarray(crop[None]), (1, 224, 224, 3), "linear"))
@@ -173,7 +196,7 @@ def eval_pose(gt):
             err = np.linalg.norm(px - gt_px[vmask], axis=-1)
             rec["spin_pck01"] = round(float((err < thr).mean()), 4)
             rec["spin_err_frac"] = round(
-                float(err.mean() / (box[3] - box[1])), 4)
+                float(err.mean() / p["person_h_px"]), 4)
         out[name] = rec
     return out
 
@@ -245,7 +268,7 @@ def main():
     # legacy scalar kept for older tooling: the HELD-OUT number
     out["quality"] = out.get("val_quality", 0.0)
     if args.pose:
-        out["pose"] = eval_pose(load_gt())
+        out["pose"] = eval_pose()
     print(json.dumps(out))
 
 

@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--studio_frac", type=float, default=0.35,
                     help="fraction of studio/stage backgrounds (v7 sim2real)")
+    ap.add_argument("--natural_frac", type=float, default=0.65,
+                    help="fraction of scenes with natural-stance poses "
+                         "(arms down / walking — synth_data.natural_pose; "
+                         "round-4 sim2real fix: the isotropic prior never "
+                         "produces ordinary standing people)")
     ap.add_argument("--garment_frac", type=float, default=0.5,
                     help="fraction of realistic muted garment textures (v7)")
     ap.add_argument("--smoke", action="store_true")
@@ -95,7 +100,8 @@ def main():
     def render_scene(key):
         sb = sd.compose_scene(key, model, assets, batch=B, size=S,
                               studio_frac=args.studio_frac,
-                              garment_frac=args.garment_frac)
+                              garment_frac=args.garment_frac,
+                              natural_frac=args.natural_frac)
         x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear")
         return x, sb.j2d
 
@@ -182,8 +188,57 @@ def main():
             else np.asarray(v), params)
         save_params(args.out, f16)
 
+    # REAL-PROBE CHECKPOINT SELECTION (PCK@0.1 on the kps25-annotated SELECT
+    # images; the val images stay held out — same recipe that fixed the
+    # person segmenter, train_person_seg.py v6/v7). Sim2real transfer is
+    # non-monotone in steps, so each periodic checkpoint is scored on real
+    # photographs and `args.out` keeps the best.
+    probes = []
+    if not args.smoke:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from eval_real_photos import pose_probe_crops
+
+            probes = pose_probe_crops(roles=("select",))
+            for p in probes:
+                c = jax.image.resize(jnp.asarray(p["crop"][None]),
+                                     (1, IN, IN, 3), "linear")
+                p["x"] = (c[..., ::-1] * 0.5) if mobile else (c * 0.5)
+        except Exception as e:
+            print(f"real probe unavailable: {e}", flush=True)
+            probes = []
+
+    hm_apply = jax.jit(
+        (lambda p, x: net.apply(p, x)[0]) if mobile
+        else (lambda p, x: net.apply(p, x)[1]))
+
+    def probe_pck(params) -> float:
+        if not probes:
+            return -1.0
+        accs = []
+        for p in probes:
+            hm = hm_apply(params, p["x"])
+            kps, scores, valid = decode_single_person(
+                hm, n_joints=18 if mobile else 25)
+            ids = p["ids"]
+            if mobile:  # COCO-18 ids differ from Body-25 for lower body
+                b25_to_c18 = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7,
+                              9: 8, 10: 9, 11: 10, 12: 11, 13: 12, 14: 13}
+                keep = np.asarray([i for i, j in enumerate(ids)
+                                   if int(j) in b25_to_c18])
+                sel = np.asarray(kps)[0][[b25_to_c18[int(j)] for j in ids
+                                          if int(j) in b25_to_c18]]
+                gt = p["gt_ndc"][keep]
+            else:
+                sel = np.asarray(kps)[0][ids]
+                gt = p["gt_ndc"]
+            err = np.linalg.norm(sel - gt, axis=-1)
+            accs.append(float((err < p["thr_ndc"]).mean()))
+        return float(np.mean(accs))
+
     key = jax.random.PRNGKey(321)
     t0 = time.perf_counter()
+    best_q, best_step = -np.inf, -1
     for step in range(args.steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss, aux = train_step(params, opt_state, sub)
@@ -192,7 +247,15 @@ def main():
                               **{k: round(float(v), 5) for k, v in aux.items()}}),
                   flush=True)
         if args.save_every and step and step % args.save_every == 0:
-            save(params)
+            if probes:
+                q = probe_pck(params)
+                if q >= best_q:
+                    best_q, best_step = q, step
+                    save(params)
+                print(json.dumps({"step": step, "real_probe_pck": round(q, 4),
+                                  "best_step": best_step}), flush=True)
+            else:
+                save(params)
 
     # holdout: decode px error over supervised joints. Out-of-frame GT joints
     # are excluded (their gaussians are clipped off the heatmap — nothing to
@@ -221,7 +284,13 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    save(params)
+    # promote the final params only if they beat the best real-probe ckpt
+    q_final = probe_pck(params)
+    if not probes or q_final >= best_q:
+        best_q, best_step = q_final, args.steps - 1
+        save(params)
+    result["real_probe_pck_best"] = round(float(best_q), 4)
+    result["best_step"] = best_step
     result["out"] = args.out
     print(json.dumps(result))
 

@@ -46,6 +46,12 @@ def main():
                     help="fraction of studio/stage backgrounds (v7 sim2real)")
     ap.add_argument("--garment_frac", type=float, default=0.5,
                     help="fraction of realistic muted garment textures (v7)")
+    ap.add_argument("--natural_frac", type=float, default=0.65,
+                    help="fraction of natural-stance poses (arms down / "
+                         "walking — synth_data.natural_pose, round-4 "
+                         "sim2real fix)")
+    ap.add_argument("--save_every", type=int, default=250,
+                    help="real-probe checkpoint-selection cadence in steps")
     ap.add_argument("--smoke", action="store_true", help="tiny run (CI)")
     args = ap.parse_args()
 
@@ -83,7 +89,8 @@ def main():
     def make_batch(key):
         sb = sd.compose_scene(key, model, assets, batch=B, size=S,
                               studio_frac=args.studio_frac,
-                              garment_frac=args.garment_frac)
+                              garment_frac=args.garment_frac,
+                              natural_frac=args.natural_frac)
         x = jax.image.resize(sb.img, (B, HMR_IMG_SIZE, HMR_IMG_SIZE, 3), "linear")
         x = ((x + 1.0) * 0.5 - mean) / std  # SPINRunner.run preprocessing
         return x, sb.theta, sb.j2d
@@ -140,8 +147,61 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
+    def save(params):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        f16 = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, np.float16)
+            if np.asarray(v).dtype == np.float32 else np.asarray(v), params)
+        save_params(args.out, f16)
+
+    # REAL-PROBE CHECKPOINT SELECTION: reprojection PCK@0.1 of the predicted
+    # SMPL joints on the kps25-annotated SELECT real images (val held out) —
+    # the person-seg v6/v7 recipe applied to the 3D regressor.
+    from ipercore_tpu.ops.rotations import rot6d_to_rotmat
+    from ipercore_tpu.tools.synth_data import body25_from_cocoplus
+
+    probes = []
+    if not args.smoke:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from eval_real_photos import pose_probe_crops
+
+            probes = pose_probe_crops(roles=("select",))
+            for p in probes:
+                c = jax.image.resize(jnp.asarray(p["crop"][None]),
+                                     (1, HMR_IMG_SIZE, HMR_IMG_SIZE, 3),
+                                     "linear")
+                p["x"] = ((c + 1.0) * 0.5 - mean) / std
+        except Exception as e:
+            print(f"real probe unavailable: {e}", flush=True)
+            probes = []
+
+    @jax.jit
+    def predict_b25(params, x):
+        pose6d, shape, cam = net.apply(params, x)
+        R = rot6d_to_rotmat(pose6d.reshape(-1, 24, 6))
+        verts = jax.vmap(lambda sh, Ri: smpl_mod.lbs_from_rot(model, sh, Ri)[0])(
+            shape, R)
+        j3d = jnp.einsum("kv,nvd->nkd", model.joint_regressor, verts)
+        j2d = smpl_mod.batch_orth_proj_idrot(j3d, cam)
+        return body25_from_cocoplus(j2d)
+
+    def probe_pck(params) -> float:
+        if not probes:
+            return -1.0
+        accs = []
+        for p in probes:
+            b25, valid = predict_b25(params, p["x"])
+            ids = p["ids"]
+            vm = np.asarray(valid)[ids] > 0
+            sel = np.asarray(b25)[0][ids][vm]
+            err = np.linalg.norm(sel - p["gt_ndc"][vm], axis=-1)
+            accs.append(float((err < p["thr_ndc"]).mean()))
+        return float(np.mean(accs))
+
     key = jax.random.PRNGKey(123)
     t0 = time.perf_counter()
+    best_q, best_step = -np.inf, -1
     for step in range(args.steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss, aux = train_step(params, opt_state, sub)
@@ -149,6 +209,13 @@ def main():
             print(json.dumps({"step": step, "loss": round(float(loss), 4),
                               **{k: round(float(v), 4) for k, v in aux.items()}}),
                   flush=True)
+        if args.save_every and step and step % args.save_every == 0 and probes:
+            q = probe_pck(params)
+            if q >= best_q:
+                best_q, best_step = q, step
+                save(params)
+            print(json.dumps({"step": step, "real_probe_pck": round(q, 4),
+                              "best_step": best_step}), flush=True)
 
     x, theta_gt, j2d_gt = jax.jit(make_batch)(jax.random.PRNGKey(777))
     _, aux = loss_fn(params, x, theta_gt, j2d_gt)
@@ -158,11 +225,13 @@ def main():
               "steps": args.steps,
               "train_s": round(time.perf_counter() - t0, 1)}
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    f16 = jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
-        else np.asarray(v), params)
-    save_params(args.out, f16)
+    # promote the final params only if they beat the best real-probe ckpt
+    q_final = probe_pck(params)
+    if not probes or q_final >= best_q:
+        best_q, best_step = q_final, args.steps - 1
+        save(params)
+    result["real_probe_pck_best"] = round(float(best_q), 4)
+    result["best_step"] = best_step
     result["out"] = args.out
     print(json.dumps(result))
 
