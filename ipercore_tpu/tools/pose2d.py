@@ -29,6 +29,33 @@ from ipercore_tpu.models.networks.blocks import PAD3
 N_BODY25_JOINTS = 25
 N_BODY25_PAFS = 52
 
+# Body-25 left<->right joint swap (horizontal-flip test-time augmentation):
+# 2-4 R arm <-> 5-7 L arm, 9-11 R leg <-> 12-14 L leg, 15/16 eyes, 17/18
+# ears, 19-21 L foot <-> 22-24 R foot; 0/1/8 are midline. Channel 25 = bg.
+BODY25_FLIP_JOINTS = np.asarray(
+    [0, 1, 5, 6, 7, 2, 3, 4, 8, 12, 13, 14, 9, 10, 11,
+     16, 15, 18, 17, 22, 23, 24, 19, 20, 21, 25], np.int32)
+
+
+def _body25_paf_flip_tables():
+    """(perm, sign) over the 52 PAF channels for horizontal flip: channel c
+    of the flip-TTA output reads sign[c] * flip_x(paf[..., perm[c]]) — the
+    mirrored limb's field, with the x-component negated."""
+    from ipercore_tpu.tools.pose2d_decode import BODY25_LIMBS, BODY25_PAF_IDS
+
+    swap = {int(a): int(b) for a, b in
+            zip(BODY25_FLIP_JOINTS[:25], range(25)) if a != b}
+    perm = np.arange(N_BODY25_PAFS, dtype=np.int32)
+    sign = np.ones(N_BODY25_PAFS, np.float32)
+    for i, (ja, jb) in enumerate(BODY25_LIMBS):
+        mirror = (swap.get(ja, ja), swap.get(jb, jb))
+        m = BODY25_LIMBS.index(mirror)
+        cx, cy = BODY25_PAF_IDS[i]
+        mcx, mcy = BODY25_PAF_IDS[m]
+        perm[cx], perm[cy] = mcx, mcy
+        sign[cx] = -1.0
+    return perm, sign
+
 
 class ChannelPReLU(nn.Module):
     """Per-channel PReLU with torch's parameter name ('weight')."""
@@ -202,7 +229,7 @@ class OpenPoseRunner:
     present; converted torch checkpoints can be supplied as `params`."""
 
     def __init__(self, params=None, input_size: int = 368,
-                 weights_path: str = None):
+                 weights_path: str = None, tta: bool = True):
         self.net = OpenPoseBody25()
         self.input_size = input_size
         self.trained = params is not None
@@ -216,7 +243,23 @@ class OpenPoseRunner:
                 params = load_params(path, like=params)
                 self.trained = True
         self.params = params
+        self.tta = tta
         self._apply = jax.jit(self.net.apply)
+        if tta:
+            perm, sign = _body25_paf_flip_tables()
+
+            def apply_tta(p, x):
+                # one program over [x; flip(x)]: average the original heads
+                # with the un-flipped mirrored heads (channel-swapped joints,
+                # mirrored limb PAFs with negated x-components)
+                n = x.shape[0]
+                paf, hm = self.net.apply(p, jnp.concatenate(
+                    [x, x[:, :, ::-1, :]], axis=0))
+                hm_f = hm[n:, :, ::-1, :][..., BODY25_FLIP_JOINTS]
+                paf_f = paf[n:, :, ::-1, :][..., perm] * sign
+                return 0.5 * (paf[:n] + paf_f), 0.5 * (hm[:n] + hm_f)
+
+            self._apply = jax.jit(apply_tta)
 
     def _forward(self, images: np.ndarray, batch_size: int = 32):
         """Chunked net forward: one jitted program per fixed batch shape —

@@ -176,9 +176,12 @@ def eval_pose(roles=("select", "val")):
             return (kps_ndc + 1.0) * 0.5 * side + np.asarray([cx0, cy0])
 
         if getattr(pose2d, "trained", False):
-            c368 = np.asarray(jax.image.resize(
-                jax.numpy.asarray(crop[None]), (1, 368, 368, 3), "linear"))
-            kps, scores, _ = pose2d.run_tracked(c368, smooth=False)
+            # 224² = the scale the product feeds it (preprocessor reuses the
+            # SPIN crops, `tools/preprocessor.py` _pose3d stage) AND the
+            # scale the net trains at — a 368² eval understated PCK by ~2x
+            c224 = np.asarray(jax.image.resize(
+                jax.numpy.asarray(crop[None]), (1, 224, 224, 3), "linear"))
+            kps, scores, _ = pose2d.run_tracked(c224, smooth=False)
             px = to_px(kps[0][ids])
             err = np.linalg.norm(px - gt_px, axis=-1)
             rec["pose2d_pck01"] = round(float((err < thr).mean()), 4)

@@ -263,10 +263,30 @@ def main():
 
     seg_apply = jax.jit(seg.apply)
 
+    # For --matting gca the shipped artifact is the MAT refiner, so
+    # checkpoint selection scores held-out alpha L1 (fixed synthetic batch),
+    # not the segmenter's real-probe box IoU — an early seg-probe peak would
+    # otherwise freeze an undertrained refiner.
+    if args.matting == "gca":
+        ev_img, ev_alpha, ev_hard = jax.jit(make_batch)(jax.random.PRNGKey(777))
+        ev_tri = generate_trimap(ev_hard)
+
+        @jax.jit
+        def _ev_alpha_l1(mat_params):
+            a = mat.apply(mat_params, jnp.concatenate([ev_img, ev_tri], -1))
+            return jnp.mean(jnp.abs(a - ev_alpha))
+
+        gca_probe = lambda params: -float(_ev_alpha_l1(params["mat"]))  # noqa: E731
+    else:
+        gca_probe = None
+
     def probe(params) -> float:
-        """Checkpoint-selection score on the SELECT real images. v7: mean of
-        the stage-1.1 component-path box IoU (the actual product metric) and
+        """Checkpoint-selection score. gca: -held-out alpha L1 (above).
+        Otherwise, on the SELECT real images — v7: mean of the stage-1.1
+        component-path box IoU (the actual product metric) and
         (coverage - 2*fp); v6: coverage - 2*fp only."""
+        if gca_probe is not None:
+            return gca_probe(params)
         if not probe_imgs:
             return 0.0
         qs = []
