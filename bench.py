@@ -17,13 +17,14 @@ accuracy cost of both knobs is measured in docs/BENCHMARKS.md (SSIM 0.9996).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 V100_BASELINE_FPS = 4.0
-SIZE = 512
+SIZE = 512  # driver default; --size benches the 256/384/512/1024 ladder
 FRAMES_PER_BATCH = 32
 WARMUP_BATCHES = 2
 BENCH_BATCHES = 5
@@ -59,6 +60,13 @@ PEAK_HBM_GBPS = {
 def main():
     import os
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=SIZE,
+                    help="synthesis resolution (the reference ladder: "
+                         "256/384/512/1024; default = the driver's 512)")
+    args = ap.parse_args()
+    size = args.size
+
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +88,7 @@ def main():
     # falls back to the synthetic stand-in off-box).
     model = smpl_mod.template_model()
     assets = load_assets(model)
-    comp = fc.make_composer(model, assets, image_size=SIZE, out_dilate_ks=51)
+    comp = fc.make_composer(model, assets, image_size=size, out_dilate_ks=51)
 
     # Full-size generator config (AttLWB-SPADE.toml parity).
     cfg = {
@@ -92,7 +100,7 @@ def main():
     gen_exact = build_generator("AttLWB-SPADE", cfg, feat_warp_stride=1)
 
     rng = np.random.RandomState(0)
-    S = SIZE
+    S = size
     bg = jnp.zeros((1, 1, S, S, 4))
     src_in = jnp.zeros((1, NS, S, S, 6))
     tsf = jnp.zeros((1, 1, S, S, 6))
@@ -169,10 +177,11 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": f"imitation_frames_per_sec_{SIZE}x{SIZE}_1chip",
+        "metric": f"imitation_frames_per_sec_{size}x{size}_1chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+        "vs_baseline": (round(fps / V100_BASELINE_FPS, 3)
+                        if size == SIZE else None),
         "exact_semantics_fps": round(fps_exact, 3),
         "model_tflops_per_frame": (round(tflops_per_frame, 4)
                                    if tflops_per_frame else None),
