@@ -115,7 +115,16 @@ class GCAMattingRefiner(nn.Module):
     over (RGB + trimap) with a contextual-attention block at the bottleneck
     that rebuilds UNKNOWN-band features from appearance-similar KNOWN
     (certain fg/bg) patches — GCA's core opacity-propagation idea as one
-    MXU attention matmul (`ops/attention.py`)."""
+    MXU attention matmul (`ops/attention.py`).
+
+    Output parameterization: the net predicts alpha ONLY inside the trimap's
+    unknown band; certain fg/bg pixels pass the trimap value through
+    (`alpha = fg + unknown * pred` — exactly how the reference composites the
+    GCA result back into the trimap, `point_render_parser.py:150-204`). A
+    first free-sigmoid variant collapsed to all-zero within 200 training
+    steps (predicting 0 is right for ~85% of pixels, and once the logits
+    saturate the remaining person pixels get no gradient); constraining the
+    prediction to the balanced unknown band removes that failure mode."""
 
     widths: tuple = (32, 64, 128)
 
@@ -127,6 +136,7 @@ class GCAMattingRefiner(nn.Module):
 
         trimap = x[..., 3:4]
         unknown = ((trimap > 0.25) & (trimap < 0.75)).astype(x.dtype)
+        fg = (trimap >= 0.75).astype(x.dtype)
         skips = []
         for w in self.widths[:-1]:
             x = ConvBlock(w)(x)
@@ -139,7 +149,8 @@ class GCAMattingRefiner(nn.Module):
         for w, s in zip(reversed(self.widths[:-1]), reversed(skips)):
             x = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(x)
             x = ConvBlock(w)(jnp.concatenate([x, s], axis=-1))
-        return nn.sigmoid(nn.Conv(1, (1, 1))(x))
+        pred = nn.sigmoid(nn.Conv(1, (1, 1))(x))
+        return fg + unknown * pred
 
 
 def generate_trimap(mask: jnp.ndarray, erode_ks: int = 11, dilate_ks: int = 21) -> jnp.ndarray:

@@ -159,10 +159,12 @@ def eval_pose(roles=("select", "val")):
 
     from ipercore_tpu.models import smpl as smpl_mod
     from ipercore_tpu.tools.pose2d import build_pose2d_estimator
+    from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPoseRunner
     from ipercore_tpu.tools.pose3d import SPINRunner
     from ipercore_tpu.tools.synth_data import body25_from_cocoplus
 
     pose2d = build_pose2d_estimator()
+    mobilenet = MobilenetOpenPoseRunner()
     spin = SPINRunner()
     model = smpl_mod.template_model()
     out = {}
@@ -187,6 +189,21 @@ def eval_pose(roles=("select", "val")):
             rec["pose2d_pck01"] = round(float((err < thr).mean()), 4)
             rec["pose2d_err_frac"] = round(
                 float(err.mean() / p["person_h_px"]), 4)
+        if getattr(mobilenet, "trained", False):
+            # mobilenet's COCO-18 head fills 17 of the 25 slots (+ mid-hip);
+            # score only the annotated joints it can produce
+            c256 = np.asarray(jax.image.resize(
+                jax.numpy.asarray(crop[None]),
+                (1, mobilenet.input_size, mobilenet.input_size, 3), "linear"))
+            kps, scores, valid = mobilenet.run(c256)
+            vmask = np.asarray(valid)[0][ids]
+            if vmask.any():
+                px = to_px(kps[0][ids][vmask])
+                err = np.linalg.norm(px - gt_px[vmask], axis=-1)
+                rec["mobilenet_pck01"] = round(float((err < thr).mean()), 4)
+                rec["mobilenet_err_frac"] = round(
+                    float(err.mean() / p["person_h_px"]), 4)
+                rec["mobilenet_n_valid"] = int(vmask.sum())
         if getattr(spin, "trained", False):
             c224 = np.asarray(jax.image.resize(
                 jax.numpy.asarray(crop[None]), (1, 224, 224, 3), "linear"))

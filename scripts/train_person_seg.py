@@ -213,7 +213,15 @@ def main():
                               (jnp.sum(p, (1, 2, 3)) + jnp.sum(hard, (1, 2, 3)) + 1.0))
         trimap = generate_trimap(hard)
         a_pred = mat.apply(params["mat"], jnp.concatenate([img, trimap], axis=-1))
-        l1 = jnp.mean(jnp.abs(a_pred - alpha))
+        if args.matting == "gca":
+            # the GCA refiner only predicts inside the unknown band (certain
+            # trimap pixels pass through); average the error over the band so
+            # the signal isn't diluted 10x by zero-error certain pixels
+            band = ((trimap > 0.25) & (trimap < 0.75)).astype(a_pred.dtype)
+            l1 = (jnp.sum(jnp.abs(a_pred - alpha) * band)
+                  / jnp.maximum(jnp.sum(band), 1.0))
+        else:
+            l1 = jnp.mean(jnp.abs(a_pred - alpha))
         iou = jnp.mean(inter / (jnp.sum(jnp.maximum(p > 0.5, hard > 0.5), (1, 2, 3)) + 1.0))
         return bce + dice + 2.0 * l1, {"bce": bce, "dice": dice,
                                        "alpha_l1": l1, "iou": iou}

@@ -152,9 +152,11 @@ def test_trimap_bands():
 def test_mattor_fallback_runs():
     from ipercore_tpu.tools.mattors import HumanMattor
 
-    # weights_path pins the geometry-fallback path even when the trained
-    # checkpoint (assets/person_seg.npz) is present
-    m = HumanMattor(image_size=64, weights_path="/nonexistent")
+    # weights_path/gca_weights_path pin the geometry-fallback path even when
+    # trained checkpoints (assets/person_seg.npz, assets/matting_gca.npz)
+    # are present
+    m = HumanMattor(image_size=64, weights_path="/nonexistent",
+                    gca_weights_path="/nonexistent")
     assert not m.trained
     imgs = np.zeros((1, 64, 64, 3), np.float32)
     sil = np.zeros((1, 64, 64, 1), np.float32)
