@@ -50,6 +50,14 @@ def main():
                     default=os.path.join(REPO, "assets", "lwg_pretrained_G.npz"))
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--recipe", choices=("v1", "v2"), default="v2",
+                    help="v2 (round 4, VERDICT r3 Missing#5): 60% of "
+                         "identities wear realistic muted garments "
+                         "(pose-consistent per-identity garment tables), "
+                         "photo-statistics/studio background plates with "
+                         "camera-pipeline augmentation applied per identity "
+                         "(so the BGNet supervision target matches); v1 "
+                         "reproduces the round-2 procedural recipe")
     args = ap.parse_args()
 
     import jax
@@ -85,9 +93,12 @@ def main():
     V = model.v_template.shape[0]
     faces = jnp.asarray(model.faces)  # (Fc, 3)
 
+    v2 = args.recipe == "v2"
+
     def make_identity_batch(key):
         """One training batch: B identities x (ns src + nt tgt) frames."""
-        kth, kvc, kM, kbg, kaug, kn = jax.random.split(key, 6)
+        kth, kvc, kM, kbg, kaug, kn, kg, kgu, kst, ksu, kpa, kpb = \
+            jax.random.split(key, 12)
         theta = sd.make_theta(kth, B * F).reshape(B, F, 85)
         # identity = shared shape across the sample's frames
         theta = theta.at[:, :, 75:85].set(theta[:, 0:1, 75:85])
@@ -113,7 +124,42 @@ def main():
         tex = jnp.tanh(0.8 * jnp.einsum("bhwc,bcd->bhwd", cond, Mf)
                        + 1.2 * fcol_ds)
 
-        bg = sd.synth_background(kbg, B, S)  # one plate per identity
+        if v2:
+            # 60% of identities wear realistic muted garments: ONE garment
+            # color table per identity (indexed by face id, so appearance
+            # follows the body across that identity's frames exactly like
+            # the vcol texture) — the person-seg v7 ingredient applied to
+            # the generator prior (VERDICT r3 Missing#5)
+            tables = sd.garment_tables(kg, B, assets.face_parts)
+            tables_pf = jnp.repeat(tables, F, axis=0)  # (B*F, Fc, 3)
+            garm_hi = jnp.where(
+                (fim >= 0)[..., None],
+                jax.vmap(lambda f, t: rz.encode_fim(f[None], t)[0])(
+                    fim, tables_pf),
+                0.0)
+            garm = sd._downsample2(garm_hi)
+            shade = 1.0 + 0.15 * sd.fractal_noise(kgu, B * F, S, 1)
+            ramp = 1.0 - 0.2 * jnp.linspace(0, 1, S)[None, :, None, None]
+            garm = jnp.clip(garm * shade * ramp, -1, 1)
+            use_garm = jax.random.bernoulli(
+                kgu, 0.6, (B, 1, 1, 1)).astype(jnp.float32)
+            tex = (tex * (1 - jnp.repeat(use_garm, F, axis=0))
+                   + garm * jnp.repeat(use_garm, F, axis=0))
+
+            # photo-statistics background plates, camera-pipeline augmented
+            # per IDENTITY so the BGNet supervision target stays consistent
+            # with every frame's composite
+            bg = sd.synth_background_mix(kbg, B, S)
+            studio = sd.synth_background_studio(kst, B, S)
+            use_st = jax.random.bernoulli(
+                ksu, 0.35, (B, 1, 1, 1)).astype(jnp.float32)
+            bg = bg * (1 - use_st) + studio * use_st
+            bg = sd.photo_augment(kpa, bg, strength=0.6)
+            aug_bg = sd.photo_augment(
+                kpb, sd.synth_background_mix(kaug, B, S), strength=0.6)
+        else:
+            bg = sd.synth_background(kbg, B, S)  # one plate per identity
+            aug_bg = sd.synth_background(kaug, B, S)
         bgf = jnp.repeat(bg, F, axis=0)
         img = tex * alpha + bgf * (1.0 - alpha)
         img = jnp.clip(img + 0.02 * jax.random.normal(kn, img.shape), -1, 1)
@@ -124,7 +170,7 @@ def main():
             "smpls": theta,
             "masks": masks.reshape(B, F, S, S, 1),
             "bg": bg,
-            "aug_bg": sd.synth_background(kaug, B, S),
+            "aug_bg": aug_bg,
         }
 
     comp = fc.make_composer(model, assets, image_size=S, out_dilate_ks=51)
