@@ -109,6 +109,25 @@ class MattingRefiner(nn.Module):
         return nn.sigmoid(nn.Conv(1, (1, 1))(x))
 
 
+class NormConvBlock(nn.Module):
+    """GroupNorm'd double conv. The GCA refiner needs normalization: the
+    un-normed ConvBlock stack at 256² grew activations to O(100) magnitudes,
+    saturating the output sigmoid to an exact 0 with dead gradients (band
+    l1 flat over 3000 steps); GroupNorm pins the scale at every depth.
+    (PersonSegUNet keeps the plain ConvBlock — its shipped v7 checkpoint
+    fixes that param structure, and BCE-on-logits never saturates.)"""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.GroupNorm(num_groups=8)(
+            nn.Conv(self.features, (3, 3), padding=PAD3)(x)))
+        x = nn.relu(nn.GroupNorm(num_groups=8)(
+            nn.Conv(self.features, (3, 3), padding=PAD3)(x)))
+        return x
+
+
 class GCAMattingRefiner(nn.Module):
     """Guided-contextual-attention alpha refiner — the TPU counterpart of the
     reference's mmedit GCA stage (`point_render_parser.py:150-204`): a UNet
@@ -139,16 +158,16 @@ class GCAMattingRefiner(nn.Module):
         fg = (trimap >= 0.75).astype(x.dtype)
         skips = []
         for w in self.widths[:-1]:
-            x = ConvBlock(w)(x)
+            x = NormConvBlock(w)(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ConvBlock(self.widths[-1])(x)
+        x = NormConvBlock(self.widths[-1])(x)
         u = (resize_image(unknown, x.shape[1], x.shape[2]) > 0.25).astype(x.dtype)
         x = ContextualAttention(name="gca")(x, u)
-        x = ConvBlock(self.widths[-1])(x)
+        x = NormConvBlock(self.widths[-1])(x)
         for w, s in zip(reversed(self.widths[:-1]), reversed(skips)):
             x = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME")(x)
-            x = ConvBlock(w)(jnp.concatenate([x, s], axis=-1))
+            x = NormConvBlock(w)(jnp.concatenate([x, s], axis=-1))
         pred = nn.sigmoid(nn.Conv(1, (1, 1))(x))
         return fg + unknown * pred
 
