@@ -1,12 +1,18 @@
-"""InceptionV3 feature extractor for literature-comparable FID.
+"""InceptionV3 feature extractor for torchvision-Inception FID.
 
 The reference's evaluation protocol (`/root/reference/docs/evaluate.md:4-11`)
-quotes FID, which is defined over the pool3 (2048-d) features of the
-ImageNet-trained torchvision InceptionV3. This module is an exact flax
-re-implementation of that topology (torchvision `inception_v3`, minus the
-aux/fc heads FID never touches), so the published checkpoint drops in via
+quotes FID over pool3 (2048-d) InceptionV3 features. This module is an exact
+flax re-implementation of the *torchvision* `inception_v3` topology (minus the
+aux/fc heads FID never touches), so that checkpoint drops in via
 `utils.torch_convert.convert_inception` and `services.evaluate` switches from
-`fid_proxy` (repo-trained VGG features) to the real `fid`.
+`fid_proxy` (repo-trained VGG features) to `fid`.
+
+Caveat on literature comparability: most published FID numbers use the
+TF-ported Inception that `pytorch-fid` vendors, which differs from torchvision
+in weights and in a few blocks (count_include_pad=False average pools, a
+max-pool variant in FIDInceptionE_2). FID computed from converted torchvision
+weights is therefore *close to but not bit-identical with* pytorch-fid /
+literature values; treat cross-paper comparisons accordingly.
 
 No network access exists in this environment, so the weights file
 (`assets/inception_v3.npz`) is absent by default and everything here is

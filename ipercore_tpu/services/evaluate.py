@@ -183,20 +183,27 @@ def evaluate_frames(pred: np.ndarray, gt: np.ndarray,
         "ssim": float(jnp.mean(ssim(a, b))),
         "psnr": float(jnp.mean(psnr(a, b))),
     }
-    if metric is None:
-        metric = PerceptualMetric(image_size=pred.shape[1])
     lpips_net = lpips_net if lpips_net is not None else LPIPSMetric()
+    fid_net = fid_net if fid_net is not None else InceptionFID()
+
+    # The proxy VGG pyramid (~36MB checkpoint + a jit) is only needed when an
+    # exact net is missing — build it lazily so the exact path stays cheap.
+    def get_metric():
+        nonlocal metric
+        if metric is None:
+            metric = PerceptualMetric(image_size=pred.shape[1])
+        return metric
+
     if lpips_net.available:
         out["lpips"] = float(np.mean(lpips_net(pred, gt)))
     else:
-        out["lpips_proxy"] = float(np.mean(metric(pred, gt)))
-    fid_net = fid_net if fid_net is not None else InceptionFID()
+        out["lpips_proxy"] = float(np.mean(get_metric()(pred, gt)))
     if fid_net.available:
         mu1, c1 = fid_net.feature_stats(pred)
         mu2, c2 = fid_net.feature_stats(gt)
         out["fid"] = frechet_distance(mu1, c1, mu2, c2)
     else:
-        mu1, c1 = metric.feature_stats(pred)
-        mu2, c2 = metric.feature_stats(gt)
+        mu1, c1 = get_metric().feature_stats(pred)
+        mu2, c2 = get_metric().feature_stats(gt)
         out["fid_proxy"] = frechet_distance(mu1, c1, mu2, c2)
     return out

@@ -80,8 +80,10 @@ def natural_pose(key, batch: int) -> jnp.ndarray:
     add = jax.random.uniform(ks[1], (batch, 2), minval=0.8, maxval=2.3)
     pose = setj(pose, _J_LSH, 2, add[:, 0])
     pose = setj(pose, _J_RSH, 2, -add[:, 1])
-    pose = setj(pose, _J_LCOLL, 2, 0.12 * jax.random.uniform(ks[2], (batch,)))
-    pose = setj(pose, _J_RCOLL, 2, -0.12 * jax.random.uniform(ks[2], (batch,)))
+    # collarbones shrug symmetrically: one draw, mirrored signs (intentional)
+    coll = 0.12 * jax.random.uniform(ks[2], (batch,))
+    pose = setj(pose, _J_LCOLL, 2, coll)
+    pose = setj(pose, _J_RCOLL, 2, -coll)
     # elbows: flexion about y (repo frame), 0 (straight) .. 1.6 (hands up)
     elb = jnp.abs(0.45 * jax.random.normal(ks[3], (batch, 2))) \
         + jax.random.uniform(ks[4], (batch, 2), maxval=0.35)
@@ -96,8 +98,10 @@ def natural_pose(key, batch: int) -> jnp.ndarray:
     knee = jnp.abs(0.4 * jax.random.normal(ks[7], (batch, 2)))
     pose = setj(pose, _J_LKNEE, 0, knee[:, 0])
     pose = setj(pose, _J_RKNEE, 0, knee[:, 1])
-    pose = setj(pose, _J_LANK, 0, 0.15 * jax.random.normal(ks[8], (batch,)))
-    pose = setj(pose, _J_RANK, 0, 0.15 * jax.random.normal(ks[8], (batch,)))
+    # ankles flex together in stance: one draw for both sides (intentional)
+    ank = 0.15 * jax.random.normal(ks[8], (batch,))
+    pose = setj(pose, _J_LANK, 0, ank)
+    pose = setj(pose, _J_RANK, 0, ank)
     # torso sway + head turn
     for j in _J_SPINE:
         pose = pose.at[:, 3 * j: 3 * j + 3].add(
@@ -234,11 +238,11 @@ def synth_background_photo(key, batch: int, size: int) -> jnp.ndarray:
                           indexing="ij")
     kr = jax.random.split(k[3], 4)
     for i in range(4):
-        kk = jax.random.split(kr[i], 4)
+        kk = jax.random.split(kr[i], 5)
         c0 = jax.random.uniform(kk[0], (batch, 2), minval=0.0, maxval=0.8)
         wh = jax.random.uniform(kk[1], (batch, 2), minval=0.05, maxval=0.5)
         col = jax.random.uniform(kk[2], (batch, 1, 1, 3), minval=-1, maxval=1)
-        on = jax.random.bernoulli(kk[3], 0.5, (batch, 1, 1, 1))
+        on = jax.random.bernoulli(kk[4], 0.5, (batch, 1, 1, 1))
         inside = ((xx[None] >= c0[:, 0, None, None])
                   & (xx[None] <= (c0[:, 0] + wh[:, 0])[:, None, None])
                   & (yy[None] >= c0[:, 1, None, None])
@@ -261,7 +265,7 @@ def synth_background_studio(key, batch: int, size: int) -> jnp.ndarray:
     are randomized; nothing is sampled from the evaluation media.
 
     Output (B, size, size, 3) in [-1, 1]."""
-    k = jax.random.split(key, 12)
+    k = jax.random.split(key, 15)
     yy, xx = jnp.meshgrid(jnp.linspace(0, 1, size), jnp.linspace(0, 1, size),
                           indexing="ij")
     # near-flat bright wall with a soft illumination gradient + faint texture
@@ -269,7 +273,7 @@ def synth_background_studio(key, batch: int, size: int) -> jnp.ndarray:
     wall = wall + 0.06 * fractal_noise(k[1], batch, size, 3)
     ang = jax.random.uniform(k[2], (batch, 1, 1), minval=0, maxval=2 * np.pi)
     g = (jnp.cos(ang) * (xx[None] - 0.5) + jnp.sin(ang) * (yy[None] - 0.5))[..., None]
-    amp = jax.random.uniform(k[2], (batch, 1, 1, 1), minval=0.0, maxval=0.3)
+    amp = jax.random.uniform(k[12], (batch, 1, 1, 1), minval=0.0, maxval=0.3)
     bg = wall + amp * g
 
     # wall/floor split: floor below a horizon line, distinct muted color with
@@ -281,7 +285,7 @@ def synth_background_studio(key, batch: int, size: int) -> jnp.ndarray:
     plank_f = jax.random.uniform(k[5], (batch, 1, 1), minval=20.0, maxval=90.0)
     planks = 0.08 * jnp.sin(yy[None] * plank_f)[..., None]
     floor = fcol * (0.75 + 0.25 * depth) + planks
-    use_floor = jax.random.bernoulli(k[5], 0.8, (batch, 1, 1, 1)).astype(bg.dtype)
+    use_floor = jax.random.bernoulli(k[13], 0.8, (batch, 1, 1, 1)).astype(bg.dtype)
     bg = bg * (1 - floor_m * use_floor) + floor * floor_m * use_floor
 
     # 0-2 saturated diagonal stripe bands (decals on the wall only)
@@ -318,7 +322,7 @@ def synth_background_studio(key, batch: int, size: int) -> jnp.ndarray:
 
     # corner vignette / soft dark blob (stage lighting falloff)
     cx = jax.random.uniform(k[10], (batch, 1, 1), minval=-0.2, maxval=1.2)
-    cy = jax.random.uniform(k[10], (batch, 1, 1), minval=-0.2, maxval=0.4)
+    cy = jax.random.uniform(k[14], (batch, 1, 1), minval=-0.2, maxval=0.4)
     r2 = (xx[None] - cx) ** 2 + (yy[None] - cy) ** 2
     vig = jnp.exp(-r2 / 0.08)[..., None]
     vamp = jax.random.uniform(k[11], (batch, 1, 1, 1), minval=0.0, maxval=0.9)

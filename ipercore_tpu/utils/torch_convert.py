@@ -731,4 +731,17 @@ def convert_lpips(sd: dict, like) -> tuple[dict, list[str]]:
         if key + ".weight" not in sd:
             key = f"lins.{k}.model.1"
         _put_conv(sd, params, key, [f"lin{k}"], report)
+    # The docstring's "checked, not copied" claim: the export's scaling layer
+    # must be the standard ImageNet normalization re-expressed for [-1, 1]
+    # inputs (shift = 2*mean - 1, scale = 2*std) that VGGFeatures applies; a
+    # nonstandard export would otherwise convert silently and produce wrong
+    # distances.
+    _want = {"scaling_layer.shift": np.array([-0.030, -0.088, -0.188]),
+             "scaling_layer.scale": np.array([0.458, 0.448, 0.450])}
+    for name, want in _want.items():
+        got = sd.get(name)
+        if got is not None:
+            got = np.asarray(got).reshape(-1)
+            if got.shape != (3,) or not np.allclose(got, want, atol=1e-3):
+                report.append(f"SCALING MISMATCH {name}: {got.tolist()}")
     return _finish(tree, params), report

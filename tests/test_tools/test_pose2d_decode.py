@@ -119,3 +119,34 @@ def test_one_euro_filter_nan_passthrough():
     assert np.isnan(out[0]) and np.isfinite(out[1])
     out = f(np.asarray([3.0, 3.0]))  # filter state survived the NaN
     assert np.isfinite(out).all()
+
+
+def test_flip_tta_tables_match_target_builder():
+    """Advisor r4: the flip-TTA joint/PAF tables were verified only by hand.
+    Validate them against an independent source of limb/joint semantics: the
+    supervision target builder. Mirroring the *keypoints* (NDC x -> -x, joints
+    permuted) and rebuilding targets must equal applying the TTA transform
+    (spatial x-reverse + channel perm + PAF x-sign) to the original targets.
+    The pixel mapping px=(ndc+1)/2*S-0.5 makes NDC flip == exact index
+    reversal, so the comparison is tight."""
+    from ipercore_tpu.tools.pose2d import (BODY25_FLIP_JOINTS,
+                                           _body25_paf_flip_tables)
+    from ipercore_tpu.tools import synth_data as sd
+
+    rng = np.random.RandomState(0)
+    j2d = rng.uniform(-0.8, 0.8, size=(2, 19, 2)).astype(np.float32)
+    b25, valid = sd.body25_from_cocoplus(np.asarray(j2d))
+    b25 = np.asarray(b25)
+    hm, paf, _, _ = sd._pose2d_targets(b25, valid, 32, 1.5,
+                                       BODY25_LIMBS, BODY25_PAF_IDS, 52)
+    # mirrored keypoints: flip NDC x and permute joint slots
+    jp = np.asarray(BODY25_FLIP_JOINTS[:25])
+    b25_m = (b25 * np.asarray([-1.0, 1.0]))[:, jp]
+    valid_m = valid[jp]
+    hm_m, paf_m, _, _ = sd._pose2d_targets(b25_m, valid_m, 32, 1.5,
+                                           BODY25_LIMBS, BODY25_PAF_IDS, 52)
+    perm, sign = _body25_paf_flip_tables()
+    hm_t = np.asarray(hm)[:, :, ::-1, :][..., np.asarray(BODY25_FLIP_JOINTS)]
+    paf_t = np.asarray(paf)[:, :, ::-1, :][..., np.asarray(perm)] * np.asarray(sign)
+    np.testing.assert_allclose(np.asarray(hm_m), hm_t, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(paf_m), paf_t, atol=1e-5)

@@ -76,6 +76,95 @@ def test_pose2d_targets_under_jit(scene_model):
     assert float(np.asarray(hm_w)[:19].sum()) == 19.0
 
 
+def test_no_prng_key_reuse_in_module():
+    """Regression for the r3/r4 advisor findings (photo_augment k[9];
+    synth_background_studio cx/cy both from k[10]): within any one function,
+    no constant-indexed split key (`k[3]`, `kk[0]`, ...) may be passed as the
+    key argument of more than one `jax.random.*` call — same key + same draw
+    count means identical (or affinely dependent) samples, silently collapsing
+    a documented N-dim augmentation range onto a lower-dim slice."""
+    import ast
+    import collections
+    import inspect
+
+    src = inspect.getsource(sd)
+    tree = ast.parse(src)
+
+    def assigned_names(node):
+        out = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Assign):
+                for t in n.targets:
+                    if isinstance(t, ast.Name):
+                        out.add(t.id)
+        return out
+
+    def key_uses(body, skip_for_bodies=True):
+        """Count constant-index key uses in `body` (a list of stmts).
+
+        A `for` loop whose body reassigns a key array (e.g. `kk =
+        jax.random.split(...)` per iteration) is its own scope — uses there
+        are fresh per iteration — so it is counted separately, not merged."""
+        uses = collections.Counter()
+        scopes = []
+        for stmt in body:
+            for node in ast.walk(stmt):
+                if skip_for_bodies and isinstance(node, ast.For):
+                    inner_assigned = assigned_names(node)
+                    # count the loop body as a separate scope for any name it
+                    # reassigns; names NOT reassigned inside still merge up
+                    scopes.append((node, inner_assigned))
+        def count(node):
+            if not isinstance(node, ast.Call):
+                return None
+            f = node.func
+            # match jax.random.<anything>(first_arg, ...)
+            if not (isinstance(f, ast.Attribute) and isinstance(f.value, ast.Attribute)
+                    and isinstance(f.value.value, ast.Name)
+                    and f.value.value.id == "jax" and f.value.attr == "random"):
+                return None
+            if not node.args:
+                return None
+            a = node.args[0]
+            if (isinstance(a, ast.Subscript) and isinstance(a.value, ast.Name)
+                    and isinstance(a.slice, ast.Constant)):
+                return (a.value.id, a.slice.value)
+            return None
+
+        loop_nodes = [s[0] for s in scopes]
+        sub_counts = []
+        for loop, inner in scopes:
+            c = collections.Counter()
+            for n in ast.walk(loop):
+                ku = count(n)
+                if ku and ku[0] in inner:
+                    c[ku] += 1
+            sub_counts.append(c)
+        for stmt in body:
+            for n in ast.walk(stmt):
+                ku = count(n)
+                if ku is None:
+                    continue
+                # skip uses already attributed to a loop sub-scope
+                in_sub = any(ku[0] in inner and _contains(loop, n)
+                             for loop, inner in scopes)
+                if not in_sub:
+                    uses[ku] += 1
+        return uses, sub_counts
+
+    def _contains(parent, node):
+        return any(n is node for n in ast.walk(parent))
+
+    offenders = []
+    for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+        uses, sub_counts = key_uses(fn.body)
+        for c in [uses] + sub_counts:
+            for (name, idx), n in c.items():
+                if n > 1:
+                    offenders.append(f"{fn.name}: {name}[{idx}] used {n}x")
+    assert not offenders, "PRNG key reuse: " + "; ".join(offenders)
+
+
 def test_random_holes_coverage():
     holes = sd.random_holes(jax.random.PRNGKey(3), 4, 64)
     assert holes.shape == (4, 64, 64, 1)
