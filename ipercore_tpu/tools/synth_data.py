@@ -736,6 +736,67 @@ def _pose2d_targets(joints_ndc: jnp.ndarray, valid: np.ndarray, hm_size: int,
     return heatmaps, jnp.moveaxis(pafs, 1, -1), hm_weight, paf_weight
 
 
+def make_pose2d_targets_b25(b25_ndc: jnp.ndarray, valid_b: jnp.ndarray,
+                            hm_size: int, sigma: float = 1.5):
+    """Per-sample-validity Body-25 targets for pseudo-labeled REAL crops.
+
+    `_pose2d_targets` takes a host-static `valid` shared across the batch —
+    right for synthetic scenes where the joint set is fixed by the cocoplus
+    regressor. Pseudo labels from the self-training loop
+    (`scripts/pseudo_label_pose.py`) instead carry per-sample, per-joint
+    confidence, so validity must be traced.
+
+    b25_ndc: (B, 25, 2) NDC; valid_b: (B, 25) 0/1 float.
+    Returns (heatmaps (B,h,h,26), pafs (B,h,h,52), hm_w (B,1,1,26),
+    paf_w (B,1,1,52)); the weight tensors broadcast against (B,h,h,C)
+    losses, unlike the global channel weights of the synthetic builder.
+    The background channel is supervised only where every production joint
+    is valid — an unknown joint position must not teach "no person here".
+    """
+    from ipercore_tpu.tools.pose2d import BODY25_TO_COCOPLUS19
+    from ipercore_tpu.tools.pose2d_decode import BODY25_LIMBS, BODY25_PAF_IDS
+
+    S = hm_size
+    # sanitize invalid slots (decoders emit NaN there): finite garbage,
+    # weights zero it out of every loss term
+    safe = jnp.where(valid_b[..., None] > 0, b25_ndc, -2.0)
+    px = (safe + 1.0) * 0.5 * S - 0.5
+    B = px.shape[0]
+    yy, xx = jnp.meshgrid(jnp.arange(S, dtype=jnp.float32),
+                          jnp.arange(S, dtype=jnp.float32), indexing="ij")
+    d2 = ((xx[None, None] - px[:, :, 0, None, None]) ** 2
+          + (yy[None, None] - px[:, :, 1, None, None]) ** 2)  # (B, 25, h, h)
+    hm = jnp.exp(-d2 / (2 * sigma ** 2)) * valid_b[:, :, None, None]
+    bgc = jnp.clip(1.0 - hm.max(axis=1, keepdims=True), 0.0, 1.0)
+    heatmaps = jnp.moveaxis(jnp.concatenate([hm, bgc], axis=1), 1, -1)
+    # the 19 production joints (toes/heels 19-24 never carry pseudo labels)
+    prod = np.zeros((25,), np.float32)
+    prod[np.asarray(BODY25_TO_COCOPLUS19)] = 1.0
+    bg_w = jnp.prod(jnp.where(prod > 0, valid_b, 1.0), axis=1)  # (B,)
+    hm_w = jnp.concatenate([valid_b, bg_w[:, None]], axis=1)  # (B, 26)
+
+    pafs = jnp.zeros((B, 52, S, S))
+    paf_w = jnp.zeros((B, 52))
+    for (ja, jb), (cx, cy) in zip(BODY25_LIMBS, BODY25_PAF_IDS):
+        w = valid_b[:, ja] * valid_b[:, jb]  # (B,)
+        a, bpt = px[:, ja], px[:, jb]
+        ab = bpt - a
+        norm = jnp.maximum(jnp.linalg.norm(ab, axis=-1, keepdims=True), 1e-5)
+        u = ab / norm
+        rel_x = xx[None] - a[:, 0, None, None]
+        rel_y = yy[None] - a[:, 1, None, None]
+        along = rel_x * u[:, 0, None, None] + rel_y * u[:, 1, None, None]
+        across = jnp.abs(rel_x * u[:, 1, None, None] - rel_y * u[:, 0, None, None])
+        on_limb = ((along >= -1.0) & (along <= norm[:, :, None] + 1.0)
+                   & (across <= 1.5)).astype(jnp.float32)
+        pafs = pafs.at[:, cx].set(on_limb * u[:, 0, None, None])
+        pafs = pafs.at[:, cy].set(on_limb * u[:, 1, None, None])
+        paf_w = paf_w.at[:, cx].set(w)
+        paf_w = paf_w.at[:, cy].set(w)
+    return (heatmaps, jnp.moveaxis(pafs, 1, -1),
+            hm_w[:, None, None, :], paf_w[:, None, None, :])
+
+
 def make_pose2d_targets(j2d_coco: jnp.ndarray, hm_size: int,
                         sigma: float = 1.5):
     """Gaussian heatmaps + limb PAFs at `hm_size` from cocoplus joints.

@@ -62,6 +62,16 @@ def main():
                          "scenes each step (the TPU default).")
     ap.add_argument("--save_every", type=int, default=300,
                     help="checkpoint cadence in steps (0 = only at the end)")
+    ap.add_argument("--pseudo", type=str, default="",
+                    help="npz of pseudo-labeled REAL crops from "
+                         "scripts/pseudo_label_pose.py; mixed into every "
+                         "batch (self-training — closes the appearance "
+                         "domain gap procedural renders cannot)")
+    ap.add_argument("--real_frac", type=float, default=0.375,
+                    help="fraction of each batch drawn from --pseudo")
+    ap.add_argument("--probe_tta", action="store_true", default=True,
+                    help="score real-probe checkpoints with flip-TTA "
+                         "heatmaps (the production inference config)")
     args = ap.parse_args()
 
     import jax
@@ -97,25 +107,46 @@ def main():
     if args.smoke and args.out.startswith(os.path.join(REPO, "assets")):
         args.out = "/tmp/openpose_smoke.npz"  # never clobber shipped weights
 
-    def render_scene(key):
-        sb = sd.compose_scene(key, model, assets, batch=B, size=S,
+    # self-training pool: pseudo-labeled real crops replace part of each batch
+    pseudo = None
+    Bs = B
+    if args.pseudo and not args.smoke:
+        if mobile:
+            raise SystemExit("--pseudo labels are Body-25; use --arch body25")
+        d = np.load(args.pseudo, allow_pickle=True)
+        p_crops = jnp.asarray(np.asarray(d["crops"], np.float32))
+        if p_crops.shape[1] != IN:
+            p_crops = jax.image.resize(
+                p_crops, (p_crops.shape[0], IN, IN, 3), "linear")
+        pseudo = {"crops": p_crops,
+                  "kps": jnp.asarray(d["kps_ndc"]),
+                  "valid": jnp.asarray(d["valid"])}
+        Br = min(max(int(round(args.real_frac * B)), 1), B - 1)
+        Bs = B - Br
+        print(f"pseudo pool: {p_crops.shape[0]} real crops, "
+              f"{Bs} synth + {Br} real per batch", flush=True)
+
+    def render_scene(key, batch=None):
+        batch = Bs if batch is None else batch
+        sb = sd.compose_scene(key, model, assets, batch=batch, size=S,
                               studio_frac=args.studio_frac,
                               garment_frac=args.garment_frac,
                               natural_frac=args.natural_frac)
-        x = jax.image.resize(sb.img, (B, IN, IN, 3), "linear")
+        x = jax.image.resize(sb.img, (batch, IN, IN, 3), "linear")
         return x, sb.j2d
 
     def finish_batch(key, x, j2d):
         """Targets + runner input scaling (+ pool-mode augmentation)."""
+        nb = x.shape[0]
         if args.pool:
             k1, k2, k3, k4 = jax.random.split(key, 4)
             # small joint-consistent shift: roll pixels, offset normalized j2d
-            shift = jax.random.randint(k1, (B, 2), -IN // 12, IN // 12 + 1)
+            shift = jax.random.randint(k1, (nb, 2), -IN // 12, IN // 12 + 1)
             x = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(x, shift)
             j2d = j2d + 2.0 * shift[:, None, ::-1].astype(jnp.float32) / IN
             # target-free appearance jitter
-            gain = jax.random.uniform(k2, (B, 1, 1, 3), minval=0.7, maxval=1.3)
-            bias = jax.random.uniform(k3, (B, 1, 1, 3), minval=-0.15, maxval=0.15)
+            gain = jax.random.uniform(k2, (nb, 1, 1, 3), minval=0.7, maxval=1.3)
+            bias = jax.random.uniform(k3, (nb, 1, 1, 3), minval=-0.15, maxval=0.15)
             x = jnp.clip(x * gain + bias
                          + 0.02 * jax.random.normal(k4, x.shape), -1, 1)
         if mobile:  # MobilenetOpenPoseRunner scaling: BGR, (pix-128)/256
@@ -127,27 +158,78 @@ def main():
         return x, hm_t, paf_t, hm_w, paf_w, j2d
 
     if args.pool:
-        render_scene = jax.jit(render_scene)
+        render_pool = jax.jit(lambda k: render_scene(k, B))
         pool_n = max(args.pool, B)
         xs, js = [], []
         pk = jax.random.PRNGKey(808)
         for _ in range(-(-pool_n // B)):
             pk, sub = jax.random.split(pk)
-            xc, jc = render_scene(sub)
+            xc, jc = render_pool(sub)
             xs.append(xc), js.append(jc)
         x_pool = jnp.concatenate(xs, axis=0)[:pool_n]
         j_pool = jnp.concatenate(js, axis=0)[:pool_n]
         print(f"scene pool ready: {x_pool.shape}", flush=True)
 
-        def make_batch(key):
+        def make_batch_synth(key, batch=None):
+            batch = Bs if batch is None else batch
             k0, k1 = jax.random.split(key)
-            idx = jax.random.randint(k0, (B,), 0, pool_n)
+            idx = jax.random.randint(k0, (batch,), 0, pool_n)
             return finish_batch(k1, x_pool[idx], j_pool[idx])
     else:
-        def make_batch(key):
+        def make_batch_synth(key, batch=None):
             k0, k1 = jax.random.split(key)
-            x, j2d = render_scene(k0)
+            x, j2d = render_scene(k0, batch)
             return finish_batch(k1, x, j2d)
+
+    def real_batch(key):
+        """Augmented pseudo-labeled real crops + per-sample-validity targets
+        (self-training branch; labels from scripts/pseudo_label_pose.py)."""
+        from ipercore_tpu.tools.pose2d import BODY25_FLIP_JOINTS
+
+        kk = jax.random.split(key, 6)
+        idx = jax.random.randint(kk[0], (Br,), 0, pseudo["crops"].shape[0])
+        x = pseudo["crops"][idx]
+        kps = pseudo["kps"][idx]
+        val = pseudo["valid"][idx]
+        # horizontal flip (joint slots permuted, x negated)
+        do = jax.random.bernoulli(kk[1], 0.5, (Br,))
+        jp = jnp.asarray(BODY25_FLIP_JOINTS[:25])
+        x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
+        kps = jnp.where(do[:, None, None],
+                        (kps * jnp.asarray([-1.0, 1.0]))[:, jp], kps)
+        val = jnp.where(do[:, None], val[:, jp], val)
+        # joint-consistent shift + appearance jitter (pool-mode recipe)
+        shift = jax.random.randint(kk[2], (Br, 2), -IN // 12, IN // 12 + 1)
+        x = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(x, shift)
+        kps = kps + 2.0 * shift[:, None, ::-1].astype(jnp.float32) / IN
+        gain = jax.random.uniform(kk[3], (Br, 1, 1, 3), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(kk[4], (Br, 1, 1, 3), minval=-0.15, maxval=0.15)
+        x = jnp.clip(x * gain + bias
+                     + 0.02 * jax.random.normal(kk[5], x.shape), -1, 1)
+        # shifted/flipped joints may leave the crop: invalidate
+        val = val * jnp.all(jnp.abs(kps) < 1.0, axis=-1)
+        hm_t, paf_t, hm_w, paf_w = sd.make_pose2d_targets_b25(kps, val, HM)
+        return x * 0.5, hm_t, paf_t, hm_w, paf_w
+
+    if pseudo is None:
+        make_batch = make_batch_synth
+    else:
+        def make_batch(key):
+            """Mixed batch with per-sample weight tensors (broadcast-compat
+            with the synthetic global channel weights)."""
+            k0, k1 = jax.random.split(key)
+            xs_, hm_s, paf_s, hmw_s, pafw_s, j2d = make_batch_synth(k0, Bs)
+            xr_, hm_r, paf_r, hmw_r, pafw_r = real_batch(k1)
+            x = jnp.concatenate([xs_, xr_], axis=0)
+            hm_t = jnp.concatenate([hm_s, hm_r], axis=0)
+            paf_t = jnp.concatenate([paf_s, paf_r], axis=0)
+            hm_w = jnp.concatenate(
+                [jnp.broadcast_to(hmw_s, (Bs, 1, 1, hm_r.shape[-1]))
+                 * jnp.ones((Bs, 1, 1, 1)), hmw_r], axis=0)
+            paf_w = jnp.concatenate(
+                [jnp.broadcast_to(pafw_s, (Bs, 1, 1, paf_r.shape[-1]))
+                 * jnp.ones((Bs, 1, 1, 1)), pafw_r], axis=0)
+            return x, hm_t, paf_t, hm_w, paf_w, j2d
 
     if mobile:
         from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPose
@@ -208,9 +290,20 @@ def main():
             print(f"real probe unavailable: {e}", flush=True)
             probes = []
 
-    hm_apply = jax.jit(
-        (lambda p, x: net.apply(p, x)[0]) if mobile
-        else (lambda p, x: net.apply(p, x)[1]))
+    if mobile:
+        hm_apply = jax.jit(lambda p, x: net.apply(p, x)[0])
+    elif args.probe_tta:
+        # score checkpoints under the production inference config (flip-TTA)
+        from ipercore_tpu.tools.pose2d import BODY25_FLIP_JOINTS
+
+        def _tta_hm(p, x):
+            hm = net.apply(p, x)[1]
+            hm_f = net.apply(p, x[:, :, ::-1])[1][:, :, ::-1, :]
+            return 0.5 * (hm + hm_f[..., jnp.asarray(BODY25_FLIP_JOINTS)])
+
+        hm_apply = jax.jit(_tta_hm)
+    else:
+        hm_apply = jax.jit(lambda p, x: net.apply(p, x)[1])
 
     def probe_pck(params) -> float:
         if not probes:
@@ -261,7 +354,8 @@ def main():
     # are excluded (their gaussians are clipped off the heatmap — nothing to
     # decode); the production consumer (SMPLify) weights by predicted score,
     # so the score-gated error is the operative number.
-    x, hm_t, paf_t, hm_w, paf_w, j2d = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    x, hm_t, paf_t, hm_w, paf_w, j2d = jax.jit(
+        lambda k: make_batch_synth(k, B))(jax.random.PRNGKey(777))
     if mobile:
         hm, _ = jax.jit(lambda p, x: net.apply(p, x))(params, x)
         kps, scores, valid = decode_single_person(hm, n_joints=18)
