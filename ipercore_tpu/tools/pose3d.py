@@ -399,3 +399,98 @@ def smplify_refine(
 
     (params, _), _ = jax.lax.scan(step, (params, opt_state), None, length=cfg.n_iters)
     return unpack(params)
+
+
+# Arms-down standing pose in axis-angle: the dominant stance in photographs.
+# SMPL zero pose is a T-pose; shoulder z-rotations of ~±1.1 rad adduct the
+# arms to the sides (joint ids 16/17 = L/R shoulder; sign convention matches
+# `synth_data.natural_pose`).
+def natural_stance_aa() -> np.ndarray:
+    pose = np.zeros((72,), np.float32)
+    pose[3 * 16 + 2] = 1.1
+    pose[3 * 17 + 2] = -1.1
+    return pose
+
+
+def keypoint_cam_init(
+    model: smpl_mod.SMPLModel,
+    kps2d: jnp.ndarray,
+    kps_conf: jnp.ndarray,
+    pose_aa: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """SPIN-free SMPLify init: a canonical pose with the weak-perspective
+    camera FIT to the observed keypoints (`smplify.py:46-90` initializes its
+    camera from torso keypoints the same way).
+
+    With j2d = s·(X + t) (`batch_orth_proj_idrot`), the confidence-weighted
+    least squares has the closed form s = cov_w(X, Y)/var_w(X),
+    t = (mean_w(Y) − s·mean_w(X))/s, computed per frame over all joints.
+
+    kps2d: (N, 19, 2) NDC; kps_conf: (N, 19). Returns theta (N, 85).
+    """
+    n = kps2d.shape[0]
+    pose = jnp.asarray(pose_aa if pose_aa is not None else natural_stance_aa())
+    theta0 = jnp.concatenate([
+        jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (n, 1)),
+        jnp.tile(pose[None], (n, 1)),
+        jnp.zeros((n, 10)),
+    ], axis=-1)
+    details = smpl_mod.get_details(model, theta0)
+    X = details["j2d"]  # cam (1,0,0) => raw model xy
+    Y, w = kps2d, jnp.maximum(kps_conf, 0.0)[..., None]
+    wsum = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-6)
+    mX = (w * X).sum(axis=1, keepdims=True) / wsum
+    mY = (w * Y).sum(axis=1, keepdims=True) / wsum
+    cov = (w * (X - mX) * (Y - mY)).sum(axis=(1, 2))
+    var = jnp.maximum((w * (X - mX) ** 2).sum(axis=(1, 2)), 1e-6)
+    s = jnp.clip(cov / var, 0.2, 5.0)
+    t = (mY[:, 0] - s[:, None] * mX[:, 0]) / s[:, None]
+    cam = jnp.concatenate([s[:, None], t], axis=-1)
+    return jnp.concatenate([cam, theta0[:, 3:]], axis=-1)
+
+
+def reprojection_error(
+    model: smpl_mod.SMPLModel,
+    theta: jnp.ndarray,
+    kps2d: jnp.ndarray,
+    kps_conf: jnp.ndarray,
+) -> jnp.ndarray:
+    """Confidence-weighted mean 2D joint error per frame (N,) in NDC units."""
+    j2d = smpl_mod.get_details(model, theta)["j2d"]
+    err = jnp.linalg.norm(j2d - kps2d, axis=-1)
+    w = jnp.maximum(kps_conf, 0.0)
+    return (w * err).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1e-6)
+
+
+def smplify_refine_multi(
+    model: smpl_mod.SMPLModel,
+    theta_init: jnp.ndarray,
+    kps2d: jnp.ndarray,
+    kps_conf: jnp.ndarray,
+    cfg: SMPLifyConfig = SMPLifyConfig(),
+    prior: Optional[GMMPosePrior] = None,
+) -> jnp.ndarray:
+    """Multi-hypothesis SMPLify (VERDICT r4 item 1c): a bad SPIN init on a
+    photograph anchors single-basin refinement to its mistakes — reproj err
+    0.21·h at r4 HEAD. Refine from BOTH the SPIN init and a SPIN-free
+    natural-stance init (camera fit to the keypoints), keep the per-frame
+    winner by confidence-weighted reprojection error, then run a short final
+    refine from the selected sequence to restore temporal coherence across
+    any hypothesis switches.
+
+    Same signature/semantics as `smplify_refine`; role of the reference's
+    (single-init) `smplify.py:46-175` driver with the robustness the
+    downloaded-SPIN checkpoint made unnecessary there.
+    """
+    h0 = smplify_refine(model, theta_init, kps2d, kps_conf, cfg, prior)
+    nat = keypoint_cam_init(model, kps2d, kps_conf)
+    h1 = smplify_refine(model, nat, kps2d, kps_conf, cfg, prior)
+    e0 = reprojection_error(model, h0, kps2d, kps_conf)
+    e1 = reprojection_error(model, h1, kps2d, kps_conf)
+    sel = jnp.where((e1 < e0)[:, None], h1, h0)
+    short = cfg._replace(n_iters=max(cfg.n_iters // 2, 10))
+    final = smplify_refine(model, sel, kps2d, kps_conf, short, prior)
+    # the joint pass must not regress any frame the selection already won
+    ef = reprojection_error(model, final, kps2d, kps_conf)
+    es = jnp.minimum(e0, e1)
+    return jnp.where((ef <= es + 0.01)[:, None], final, sel)

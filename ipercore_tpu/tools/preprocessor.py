@@ -198,7 +198,7 @@ class Preprocessor:
             import jax.numpy as jnp
 
             from ipercore_tpu.tools.pose3d import (
-                GMM_DEFAULT_WEIGHTS, load_gmm_prior, smplify_refine)
+                GMM_DEFAULT_WEIGHTS, load_gmm_prior, smplify_refine_multi)
 
             if self.smoke:
                 # default camera-centered thetas: keeps the pipeline exact in
@@ -238,17 +238,35 @@ class Preprocessor:
                     # toward plausible human poses instead of anchoring to
                     # the SPIN init's mistakes on photographs
                     prior = load_gmm_prior(GMM_DEFAULT_WEIGHTS)
-                    # np.array (copy): asarray of a jax array is read-only
-                    theta = np.array(smplify_refine(
+                    # np.array (copy): asarray of a jax array is read-only.
+                    # Multi-hypothesis refinement (SPIN init + SPIN-free
+                    # natural-stance/keypoint-camera init, per-frame winner):
+                    # a wrong SPIN fit on photographs cannot anchor the
+                    # result when the keypoints disagree.
+                    theta = np.array(smplify_refine_multi(
                         self.body_model, jnp.asarray(theta),
                         jnp.asarray(kps19), jnp.asarray(conf19),
                         prior=prior))
                     # outlier SMPLify results fall back to the SPIN init
-                    # (`smooth.py:223-251`)
+                    # (`smooth.py:223-251`) — but only when the init actually
+                    # explains the keypoints better. The reference can trust
+                    # its downloaded SPIN unconditionally; ours can be the
+                    # outlier, and multi-init wins routinely sit far from it.
+                    from ipercore_tpu.tools.pose3d import reprojection_error
                     from ipercore_tpu.utils.smoothing import pose_temporal_smooth
 
-                    theta[:, 3:-10] = pose_temporal_smooth(
+                    fb = pose_temporal_smooth(
                         init_theta[:, 3:-10], theta[:, 3:-10])
+                    diverged = np.abs(fb - theta[:, 3:-10]).sum(1) > 1e-6
+                    if diverged.any():
+                        e_init = np.asarray(reprojection_error(
+                            self.body_model, jnp.asarray(init_theta),
+                            jnp.asarray(kps19), jnp.asarray(conf19)))
+                        e_opt = np.asarray(reprojection_error(
+                            self.body_model, jnp.asarray(theta),
+                            jnp.asarray(kps19), jnp.asarray(conf19)))
+                        take = diverged & (e_init < e_opt)
+                        theta[take, 3:-10] = init_theta[take, 3:-10]
             info.set_array("smpls", theta.astype(np.float32))
             info.mark_run("pose3d")
             info.serialize()

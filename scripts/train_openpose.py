@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--probe_tta", action="store_true", default=True,
                     help="score real-probe checkpoints with flip-TTA "
                          "heatmaps (the production inference config)")
+    ap.add_argument("--motion_blur", type=float, default=0.5,
+                    help="probability of directional motion blur on each "
+                         "synthetic sample (the real video's fast limbs are "
+                         "blurred; renders are sharp). 0 disables.")
     args = ap.parse_args()
 
     import jax
@@ -138,6 +142,9 @@ def main():
     def finish_batch(key, x, j2d):
         """Targets + runner input scaling (+ pool-mode augmentation)."""
         nb = x.shape[0]
+        key, kmb = jax.random.split(key)
+        if args.motion_blur > 0 and not args.smoke:
+            x = sd.motion_blur(kmb, x, p=args.motion_blur)
         if args.pool:
             k1, k2, k3, k4 = jax.random.split(key, 4)
             # small joint-consistent shift: roll pixels, offset normalized j2d
