@@ -233,6 +233,10 @@ class OpenPoseRunner:
         self.net = OpenPoseBody25()
         self.input_size = input_size
         self.trained = params is not None
+        # the FCN runs at any resolution but is scale-calibrated to the one
+        # it trained at; trainers stamp it into the checkpoint and consumers
+        # (preprocessor crops, eval) feed it back
+        self.trained_size = None
         if params is None:
             params = jax.jit(self.net.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, input_size, input_size, 3)))
@@ -242,6 +246,9 @@ class OpenPoseRunner:
 
                 params = load_params(path, like=params)
                 self.trained = True
+                with np.load(path) as z:
+                    if "__meta__/input_size" in z.files:
+                        self.trained_size = int(z["__meta__/input_size"])
         self.params = params
         self.tta = tta
         self._apply = jax.jit(self.net.apply)

@@ -213,8 +213,14 @@ class Preprocessor:
                 # untrained OpenPose (no checkpoint), random keypoints would
                 # actively corrupt the SPIN estimate
                 if self.use_smplify and self.pose2d.trained:
+                    # pose2d runs at ITS trained scale (checkpoint metadata);
+                    # SPIN keeps its fixed 224 HMR contract
+                    p2s = self.pose2d.trained_size or 224
+                    pose_in = spin_in if p2s == 224 else np.asarray(
+                        jax.image.resize(jnp.asarray(imgs),
+                                         (len(imgs), p2s, p2s, 3), "linear"))
                     # NMS + PAF grouping + 1-euro filter (multi-person-safe)
-                    kps, scores, valid = self.pose2d.run_tracked(spin_in)
+                    kps, scores, valid = self.pose2d.run_tracked(pose_in)
                     from ipercore_tpu.tools.pose2d import body25_to_cocoplus
 
                     if len(kps) > 5:

@@ -151,39 +151,51 @@ def pose_probe_crops(roles=("select",)):
     return out
 
 
-def eval_pose(roles=("select", "val")):
+def eval_pose(roles=("select", "val"), crop_size: int = None):
     """OpenPose PCK@0.1 + SPIN reprojection error on the kps25-annotated
     real images (VERDICT r3 item 4: real-domain metrics for every shipped
-    perception net, next to the synthetic holdouts)."""
+    perception net, next to the synthetic holdouts), plus the CHAIN metric
+    `refined_pck01`: the production stage-1.3 output (SPIN init ->
+    multi-hypothesis SMPLify against the OpenPose keypoints) — the number
+    the product actually lives on.
+    """
     import jax
+    import jax.numpy as jnp
 
     from ipercore_tpu.models import smpl as smpl_mod
-    from ipercore_tpu.tools.pose2d import build_pose2d_estimator
+    from ipercore_tpu.tools.pose2d import (body25_to_cocoplus,
+                                           build_pose2d_estimator)
     from ipercore_tpu.tools.pose2d_mobilenet import MobilenetOpenPoseRunner
-    from ipercore_tpu.tools.pose3d import SPINRunner
+    from ipercore_tpu.tools.pose3d import (GMM_DEFAULT_WEIGHTS, SPINRunner,
+                                           load_gmm_prior,
+                                           smplify_refine_multi)
     from ipercore_tpu.tools.synth_data import body25_from_cocoplus
 
     pose2d = build_pose2d_estimator()
     mobilenet = MobilenetOpenPoseRunner()
     spin = SPINRunner()
     model = smpl_mod.template_model()
+    prior = load_gmm_prior(GMM_DEFAULT_WEIGHTS)
+    # pose2d eval scale defaults to the scale the net was trained at (the
+    # product feeds the same via `Preprocessor.pose2d_size`)
+    p2d_size = crop_size or getattr(pose2d, "trained_size", None) or 224
     out = {}
     for p in pose_probe_crops(roles=roles):
         name, crop, ids = p["name"], p["crop"], p["ids"]
         gt_px, (cx0, cy0, side) = p["gt_px"], p["origin"]
         thr = 0.1 * p["person_h_px"]
         rec = {"role": p["role"], "n_joints": int(len(ids))}
+        kps224 = scores224 = None
 
         def to_px(kps_ndc):
             return (kps_ndc + 1.0) * 0.5 * side + np.asarray([cx0, cy0])
 
         if getattr(pose2d, "trained", False):
-            # 224² = the scale the product feeds it (preprocessor reuses the
-            # SPIN crops, `tools/preprocessor.py` _pose3d stage) AND the
-            # scale the net trains at — a 368² eval understated PCK by ~2x
             c224 = np.asarray(jax.image.resize(
-                jax.numpy.asarray(crop[None]), (1, 224, 224, 3), "linear"))
-            kps, scores, _ = pose2d.run_tracked(c224, smooth=False)
+                jax.numpy.asarray(crop[None]),
+                (1, p2d_size, p2d_size, 3), "linear"))
+            kps, scores, vmask2 = pose2d.run_tracked(c224, smooth=False)
+            kps224, scores224 = kps, scores * vmask2
             px = to_px(kps[0][ids])
             err = np.linalg.norm(px - gt_px, axis=-1)
             rec["pose2d_pck01"] = round(float((err < thr).mean()), 4)
@@ -217,6 +229,23 @@ def eval_pose(roles=("select", "val")):
             rec["spin_pck01"] = round(float((err < thr).mean()), 4)
             rec["spin_err_frac"] = round(
                 float(err.mean() / p["person_h_px"]), 4)
+
+            # CHAIN: production stage-1.3 — multi-init SMPLify against the
+            # detected keypoints (`tools/preprocessor.py` pose3d stage)
+            if kps224 is not None:
+                kps19, conf19 = body25_to_cocoplus(kps224, scores224)
+                theta_ref = smplify_refine_multi(
+                    model, jnp.asarray(theta), jnp.asarray(kps19),
+                    jnp.asarray(conf19), prior=prior)
+                det_r = smpl_mod.get_details(model, theta_ref)
+                b25r, validr = body25_from_cocoplus(det_r["j2d"])
+                selr = np.asarray(b25r)[0][ids]
+                vm = np.asarray(validr)[ids] > 0
+                pxr = to_px(selr[vm])
+                errr = np.linalg.norm(pxr - gt_px[vm], axis=-1)
+                rec["refined_pck01"] = round(float((errr < thr).mean()), 4)
+                rec["refined_err_frac"] = round(
+                    float(errr.mean() / p["person_h_px"]), 4)
         out[name] = rec
     return out
 

@@ -42,7 +42,7 @@ sys.path.insert(0, REPO)
 OUT_DIR = os.path.join(REPO, ".cache", "pseudo_pose")
 VAL_BAND_START = 160  # frames >= this are the held-out val band: never label
 N_FRAMES = 219
-CROP = 224
+CROP = 320  # stored crop resolution (trainers resize to their input size)
 
 
 def detect_boxes(frames: np.ndarray) -> np.ndarray:
@@ -133,7 +133,15 @@ def main():
     pose2d = build_pose2d_estimator()
     if not getattr(pose2d, "trained", False):
         raise SystemExit("no trained openpose weights")
-    kps, scores, valid = pose2d.run_tracked(crops, smooth=False)
+    # teacher runs at its scale-calibrated resolution (checkpoint metadata)
+    t_size = getattr(pose2d, "trained_size", None) or CROP
+    teach_in = crops
+    if t_size != CROP:
+        import jax.numpy as jnp
+
+        teach_in = np.asarray(jax.image.resize(
+            jnp.asarray(crops), (N, t_size, t_size, 3), "linear"))
+    kps, scores, valid = pose2d.run_tracked(teach_in, smooth=False)
     # crop NDC -> frame px
     px = (kps + 1.0) * 0.5 * origins[:, None, 2:3] + origins[:, None, :2]
 

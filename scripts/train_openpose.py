@@ -275,6 +275,10 @@ def main():
         f16 = jax.tree_util.tree_map(
             lambda v: np.asarray(v, np.float16) if np.asarray(v).dtype == np.float32
             else np.asarray(v), params)
+        # record the training resolution: the FCN runs at any size but is
+        # scale-calibrated to this one; runners/preprocessor feed it back
+        f16 = dict(f16)
+        f16["__meta__"] = {"input_size": np.asarray(IN, np.int32)}
         save_params(args.out, f16)
 
     # REAL-PROBE CHECKPOINT SELECTION (PCK@0.1 on the kps25-annotated SELECT

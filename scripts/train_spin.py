@@ -52,6 +52,14 @@ def main():
                          "sim2real fix)")
     ap.add_argument("--save_every", type=int, default=250,
                     help="real-probe checkpoint-selection cadence in steps")
+    ap.add_argument("--pseudo", type=str, default="",
+                    help="npz of chain-distilled (crop, theta) pairs from "
+                         "scripts/pseudo_label_theta.py; mixed into every "
+                         "batch (direct sim2real training stalls at chance "
+                         "on real probes — r5; the chain's SMPLify output "
+                         "is the only real-domain supervision available)")
+    ap.add_argument("--real_frac", type=float, default=0.375,
+                    help="fraction of each batch drawn from --pseudo")
     ap.add_argument("--smoke", action="store_true", help="tiny run (CI)")
     args = ap.parse_args()
 
@@ -86,14 +94,62 @@ def main():
     mean = jnp.asarray([0.485, 0.456, 0.406])
     std = jnp.asarray([0.229, 0.224, 0.225])
 
-    def make_batch(key):
-        sb = sd.compose_scene(key, model, assets, batch=B, size=S,
+    # chain-distilled real supervision (scripts/pseudo_label_theta.py)
+    pseudo = None
+    Bs = B
+    if args.pseudo and not args.smoke:
+        d = np.load(args.pseudo, allow_pickle=True)
+        pc = jnp.asarray(np.asarray(d["crops"], np.float32))
+        if pc.shape[1] != HMR_IMG_SIZE:
+            pc = jax.image.resize(
+                pc, (pc.shape[0], HMR_IMG_SIZE, HMR_IMG_SIZE, 3), "linear")
+        pseudo = {"crops": pc, "theta": jnp.asarray(d["theta"])}
+        Br = min(max(int(round(args.real_frac * B)), 1), B - 1)
+        Bs = B - Br
+        print(f"pseudo pool: {pc.shape[0]} real (crop, theta) pairs; "
+              f"{Bs} synth + {Br} real per batch", flush=True)
+
+    def synth_batch(key, batch):
+        sb = sd.compose_scene(key, model, assets, batch=batch, size=S,
                               studio_frac=args.studio_frac,
                               garment_frac=args.garment_frac,
                               natural_frac=args.natural_frac)
-        x = jax.image.resize(sb.img, (B, HMR_IMG_SIZE, HMR_IMG_SIZE, 3), "linear")
+        x = jax.image.resize(sb.img, (batch, HMR_IMG_SIZE, HMR_IMG_SIZE, 3),
+                             "linear")
         x = ((x + 1.0) * 0.5 - mean) / std  # SPINRunner.run preprocessing
         return x, sb.theta, sb.j2d
+
+    def real_batch(key):
+        """Augmented real crops + chain thetas. Shift augmentation moves the
+        weak-perspective camera consistently: j2d = s*(x+t), so a pixel
+        shift of delta NDC is t += delta/s."""
+        kk = jax.random.split(key, 4)
+        idx = jax.random.randint(kk[0], (Br,), 0, pseudo["crops"].shape[0])
+        x = pseudo["crops"][idx]
+        th = pseudo["theta"][idx]
+        shift = jax.random.randint(kk[1], (Br, 2), -HMR_IMG_SIZE // 14,
+                                   HMR_IMG_SIZE // 14 + 1)
+        x = jax.vmap(lambda im, s_: jnp.roll(im, s_, axis=(0, 1)))(x, shift)
+        delta = 2.0 * shift[:, ::-1].astype(jnp.float32) / HMR_IMG_SIZE
+        th = th.at[:, 1:3].add(delta / th[:, 0:1])
+        gain = jax.random.uniform(kk[2], (Br, 1, 1, 3), minval=0.75, maxval=1.25)
+        bias = jax.random.uniform(kk[3], (Br, 1, 1, 3), minval=-0.12, maxval=0.12)
+        x = jnp.clip(x * gain + bias, -1, 1)
+        x = ((x + 1.0) * 0.5 - mean) / std
+        # labels' j2d through the same LBS the loss uses
+        det = smpl_mod.get_details(model, th)
+        return x, th, det["j2d"]
+
+    if pseudo is None:
+        def make_batch(key):
+            return synth_batch(key, B)
+    else:
+        def make_batch(key):
+            k0, k1 = jax.random.split(key)
+            xs_, ts_, js_ = synth_batch(k0, Bs)
+            xr_, tr_, jr_ = real_batch(k1)
+            return (jnp.concatenate([xs_, xr_]), jnp.concatenate([ts_, tr_]),
+                    jnp.concatenate([js_, jr_]))
 
     net = SPINNet()
     params = jax.jit(net.init)(
@@ -217,7 +273,8 @@ def main():
             print(json.dumps({"step": step, "real_probe_pck": round(q, 4),
                               "best_step": best_step}), flush=True)
 
-    x, theta_gt, j2d_gt = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    x, theta_gt, j2d_gt = jax.jit(
+        lambda k: synth_batch(k, B))(jax.random.PRNGKey(777))
     _, aux = loss_fn(params, x, theta_gt, j2d_gt)
     result = {"metric": "spin_synthetic_holdout",
               "j2d_px_224": round(float(aux["j2d_px"]), 2),
