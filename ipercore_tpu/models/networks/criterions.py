@@ -142,20 +142,34 @@ class LPIPSLin(nn.Module):
         return total
 
 
+DEFAULT_FACELOSS_WEIGHTS = os.path.join(
+    os.path.dirname(DEFAULT_VGG_WEIGHTS), "faceloss.npz")
+
+
 def init_face_params(rng, face_loss_path: str = "sphere20a"):
     """Face net + params by config path — `FaceLoss.__init__`
     (`faceloss.py:291-311`). Loads `.npz` weights when the path exists
     (converted torch checkpoints via `torch_convert.convert_sphereface` /
-    `convert_senet50`); otherwise fixed random features.
+    `convert_senet50`). For the symbolic "sphere20a" name, the on-device
+    identity-contrastive checkpoint `assets/faceloss.npz`
+    (scripts/train_faceloss.py) auto-loads when shipped — the reference's
+    FaceLoss always runs downloaded pretrained features
+    (`faceloss.py:291-299`); random features were the r4 stopgap.
 
     Returns (module, params, (height, width))."""
     net, hw = build_face_net(face_loss_path)
     params = jax.jit(net.init)(rng, jnp.zeros((1, hw[0], hw[1], 3)))
+    path = None
     if face_loss_path and os.path.exists(face_loss_path) and \
             face_loss_path.endswith(".npz"):
+        path = face_loss_path
+    elif "senet" not in os.path.basename(str(face_loss_path)).lower() and \
+            os.path.exists(DEFAULT_FACELOSS_WEIGHTS):
+        path = DEFAULT_FACELOSS_WEIGHTS
+    if path:
         from ipercore_tpu.utils.checkpoint import load_params
 
-        params = load_params(face_loss_path, like=params)
+        params = load_params(path, like=params)
     return net, params, hw
 
 

@@ -161,10 +161,12 @@ def personalize(opt) -> str:
     dis = build_discriminator(opt.get("dis_name", "patch_global"), opt.Discriminator)
     vgg = C.VGGFeatures()
     vgg_params = C.init_vgg_params(jax.random.PRNGKey(1), S)
-    face = C.SphereFaceFeatures()
-    face_params = jax.jit(face.init)(jax.random.PRNGKey(2), jnp.zeros((1, 112, 96, 3)))
-
     tr = opt.Train
+    # auto-loads assets/faceloss.npz when shipped (trained identity
+    # features; `faceloss.py:291-311` — the reference always runs
+    # pretrained features here)
+    face, face_params, _face_hw = C.init_face_params(
+        jax.random.PRNGKey(2), str(tr.get("face_loss_path", "sphere20a")))
     cfg = T.TrainConfig(
         lambda_rec=float(tr.lambda_rec), lambda_tsf=float(tr.lambda_tsf),
         lambda_face=float(tr.lambda_face), lambda_mask=float(tr.lambda_mask),

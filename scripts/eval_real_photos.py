@@ -250,6 +250,69 @@ def eval_pose(roles=("select", "val"), crop_size: int = None):
     return out
 
 
+def rasterize_poly(poly_frac, size: int, origin=None):
+    """Hand-traced polygon (x,y fractions of the full image) -> (size, size)
+    float mask in the square-crop frame given `origin` = (x0, y0, side, W, H),
+    or in full-image frame when origin is None (then size is (h, w))."""
+    from PIL import Image, ImageDraw
+
+    im = Image.new("L", (size, size), 0)
+    dr = ImageDraw.Draw(im)
+    pts = []
+    for fx, fy in poly_frac:
+        if origin is None:
+            pts.append((fx * size, fy * size))
+        else:
+            x0, y0, side, W, H = origin
+            pts.append(((fx * W - x0) / side * size,
+                        (fy * H - y0) / side * size))
+    dr.polygon(pts, fill=255)
+    return np.asarray(im, np.float32) / 255.0
+
+
+def eval_masks(mattor=None, work: int = 256):
+    """Real-domain mask/alpha quality vs the hand-traced silhouette polygons
+    (VERDICT r4 item 3 / Weak#3: the thin-mask problem becomes a measured,
+    gated number). Runs the production `HumanMattor` on the stage-1.2-style
+    GT-box square crop; reports binary-mask IoU, alpha MAD, and in-poly
+    coverage per annotated image."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipercore_tpu.tools.mattors import HumanMattor
+
+    mattor = mattor or HumanMattor(image_size=work)
+    with open(GT_PATH) as f:
+        reg = json.load(f)["images"]
+    from PIL import Image
+
+    out = {}
+    for name, (path, frac, role) in load_gt().items():
+        e = reg[name]
+        if "mask_poly" not in e or not os.path.exists(path):
+            continue
+        im = Image.open(path).convert("RGB")
+        arr = np.asarray(im).astype(np.float32) / 127.5 - 1.0
+        H, W = arr.shape[:2]
+        box = np.asarray([frac[0] * W, frac[1] * H, frac[2] * W, frac[3] * H])
+        crop, (x0, y0, side) = _square_crop(arr, box)
+        crop = np.asarray(jax.image.resize(
+            jnp.asarray(crop[None]), (1, work, work, 3), "linear"))
+        alpha, mask = mattor.run(crop)
+        gt = rasterize_poly(e["mask_poly"], work, (x0, y0, side, W, H))
+        m = mask[0, ..., 0] > 0.5
+        g = gt > 0.5
+        iou = float((m & g).sum() / max((m | g).sum(), 1))
+        out[name] = {
+            "role": role,
+            "mask_iou": round(iou, 4),
+            "alpha_mad": round(float(np.abs(alpha[0, ..., 0] - gt).mean()), 4),
+            "coverage_in_poly": round(float(m[g].mean()), 4) if g.any() else 0.0,
+            "fp_out_poly": round(float(m[~g].mean()), 4),
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", type=str,
@@ -257,6 +320,9 @@ def main():
     ap.add_argument("--pose", action="store_true",
                     help="also report OpenPose PCK@0.1 + SPIN reprojection "
                          "on the kps25-annotated images")
+    ap.add_argument("--mask", action="store_true",
+                    help="also report mask IoU / alpha MAD vs the "
+                         "hand-traced silhouette polygons")
     args = ap.parse_args()
 
     import jax
@@ -318,6 +384,8 @@ def main():
     out["quality"] = out.get("val_quality", 0.0)
     if args.pose:
         out["pose"] = eval_pose()
+    if args.mask:
+        out["mask"] = eval_masks()
     print(json.dumps(out))
 
 
