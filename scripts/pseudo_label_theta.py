@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--err_gate", type=float, default=0.09,
                     help="max confidence-weighted reprojection error (crop "
                          "NDC; person height is ~1.7 NDC) for a kept label")
+    ap.add_argument("--iters", type=int, default=150,
+                    help="SMPLify iterations (offline labeling can afford "
+                         "far more than the preprocessing default)")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
 
@@ -50,8 +53,8 @@ def main():
 
     from ipercore_tpu.models import smpl as smpl_mod
     from ipercore_tpu.tools.pose2d import body25_to_cocoplus
-    from ipercore_tpu.tools.pose3d import (GMM_DEFAULT_WEIGHTS, SPINRunner,
-                                           load_gmm_prior,
+    from ipercore_tpu.tools.pose3d import (GMM_DEFAULT_WEIGHTS, SMPLifyConfig,
+                                           SPINRunner, load_gmm_prior,
                                            reprojection_error,
                                            smplify_refine_multi)
 
@@ -71,9 +74,10 @@ def main():
 
     kps19, conf19 = body25_to_cocoplus(kps, valid)
     prior = load_gmm_prior(GMM_DEFAULT_WEIGHTS)
+    cfg = SMPLifyConfig()._replace(n_iters=args.iters)
     theta = np.asarray(smplify_refine_multi(
         model, jnp.asarray(theta0), jnp.asarray(kps19), jnp.asarray(conf19),
-        prior=prior))
+        cfg=cfg, prior=prior))
     err = np.asarray(reprojection_error(
         model, jnp.asarray(theta), jnp.asarray(kps19), jnp.asarray(conf19)))
     keep = err < args.err_gate
