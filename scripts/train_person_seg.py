@@ -57,6 +57,15 @@ def main():
                     help="v7 (round 4): studio backgrounds + realistic "
                          "garment textures + boundary/FP-weighted loss + "
                          "box-IoU probe; v6 reproduces the round-3 recipe")
+    ap.add_argument("--pseudo", type=str, default="",
+                    help="npz of background-subtraction pseudo-masks from "
+                         "scripts/pseudo_label_seg.py (the r5 'v8' rung: "
+                         "real full-frame (img, mask) pairs fix the "
+                         "thin-mask failure procedural renders can't)")
+    ap.add_argument("--real_frac", type=float, default=0.375,
+                    help="real rows appended per batch = real_frac * batch")
+    ap.add_argument("--resume", action="store_true",
+                    help="initialize from an existing --out checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -176,6 +185,56 @@ def main():
         hard = (alpha > 0.5).astype(jnp.float32)
         return img, alpha, hard
 
+    # v8 rung: real full-frame (img, mask) rows appended to every batch
+    # (scripts/pseudo_label_seg.py — static-camera background subtraction,
+    # pose-consistency gated). Matting L1 is masked off on real rows: the
+    # binary pseudo-mask is not a soft alpha.
+    pseudo = None
+    Br = 0
+    if args.pseudo and not args.smoke:
+        d = np.load(args.pseudo, allow_pickle=True)
+        p_imgs = jnp.asarray(np.asarray(d["imgs"], np.float32))
+        p_masks = jnp.asarray(np.asarray(d["masks"], np.float32))[..., None]
+        if p_imgs.shape[1] != S:
+            p_imgs = jax.image.resize(
+                p_imgs, (p_imgs.shape[0], S, S, 3), "linear")
+            p_masks = (jax.image.resize(
+                p_masks, (p_masks.shape[0], S, S, 1), "linear") > 0.5
+            ).astype(jnp.float32)
+        pseudo = (p_imgs, p_masks)
+        Br = max(int(round(args.real_frac * B)), 1)
+        print(f"pseudo pool: {p_imgs.shape[0]} real frames; "
+              f"{B} synth + {Br} real per batch", flush=True)
+
+        def real_rows(key):
+            kk = jax.random.split(key, 5)
+            idx = jax.random.randint(kk[0], (Br,), 0, pseudo[0].shape[0])
+            x, m = pseudo[0][idx], pseudo[1][idx]
+            do = jax.random.bernoulli(kk[1], 0.5, (Br,))
+            x = jnp.where(do[:, None, None, None], x[:, :, ::-1, :], x)
+            m = jnp.where(do[:, None, None, None], m[:, :, ::-1, :], m)
+            shift = jax.random.randint(kk[2], (Br, 2), -S // 10, S // 10 + 1)
+            x = jax.vmap(lambda im, s_: jnp.roll(im, s_, axis=(0, 1)))(x, shift)
+            m = jax.vmap(lambda im, s_: jnp.roll(im, s_, axis=(0, 1)))(m, shift)
+            gain = jax.random.uniform(kk[3], (Br, 1, 1, 3), minval=0.75, maxval=1.25)
+            bias = jax.random.uniform(kk[4], (Br, 1, 1, 3), minval=-0.12, maxval=0.12)
+            x = jnp.clip(x * gain + bias, -1, 1)
+            return x, m
+
+        make_batch_synth = make_batch
+
+        def make_batch(key):
+            k0, k1 = jax.random.split(key)
+            img, alpha, hard = make_batch_synth(k0)
+            xr, mr = real_rows(k1)
+            return (jnp.concatenate([img, xr]),
+                    jnp.concatenate([alpha, mr]),
+                    jnp.concatenate([hard, mr]))
+
+    # per-row matting-loss weight: 1 on synthetic rows, 0 on real rows
+    W_MAT = jnp.concatenate([jnp.ones((B,)), jnp.zeros((Br,))]) \
+        if pseudo is not None else None
+
     seg = PersonSegUNet()
     if args.matting == "gca":
         from ipercore_tpu.tools.mattors import GCAMattingRefiner
@@ -190,6 +249,11 @@ def main():
         "seg": jax.jit(seg.init)(k0, jnp.zeros((1, S, S, 3))),
         "mat": jax.jit(mat.init)(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 4))),
     }
+    if args.resume and os.path.exists(args.out):
+        from ipercore_tpu.utils.checkpoint import load_params
+
+        params = load_params(args.out, like=params)
+        print(f"resumed from {args.out}", flush=True)
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
@@ -213,15 +277,19 @@ def main():
                               (jnp.sum(p, (1, 2, 3)) + jnp.sum(hard, (1, 2, 3)) + 1.0))
         trimap = generate_trimap(hard)
         a_pred = mat.apply(params["mat"], jnp.concatenate([img, trimap], axis=-1))
+        wm = (jnp.ones((img.shape[0],))
+              if W_MAT is None or W_MAT.shape[0] != img.shape[0] else W_MAT)
+        wm4 = wm[:, None, None, None]
         if args.matting == "gca":
             # the GCA refiner only predicts inside the unknown band (certain
             # trimap pixels pass through); average the error over the band so
             # the signal isn't diluted 10x by zero-error certain pixels
             band = ((trimap > 0.25) & (trimap < 0.75)).astype(a_pred.dtype)
-            l1 = (jnp.sum(jnp.abs(a_pred - alpha) * band)
-                  / jnp.maximum(jnp.sum(band), 1.0))
+            l1 = (jnp.sum(jnp.abs(a_pred - alpha) * band * wm4)
+                  / jnp.maximum(jnp.sum(band * wm4), 1.0))
         else:
-            l1 = jnp.mean(jnp.abs(a_pred - alpha))
+            l1 = (jnp.sum(jnp.abs(a_pred - alpha) * wm4)
+                  / jnp.maximum(jnp.sum(wm4) * alpha.shape[1] * alpha.shape[2], 1.0))
         iou = jnp.mean(inter / (jnp.sum(jnp.maximum(p > 0.5, hard > 0.5), (1, 2, 3)) + 1.0))
         return bce + dice + 2.0 * l1, {"bce": bce, "dice": dice,
                                        "alpha_l1": l1, "iou": iou}
@@ -271,6 +339,27 @@ def main():
 
     seg_apply = jax.jit(seg.apply)
 
+    # v8: the probe also scores MASK IoU against the select-side hand-traced
+    # silhouette (akun_0060) — boxes alone let thin masks win (r4 Weak#3)
+    probe_mask = None
+    if not args.smoke and pseudo is not None:
+        try:
+            from PIL import Image
+
+            from eval_real_photos import GT_PATH, load_gt, rasterize_poly
+
+            reg = json.load(open(GT_PATH))["images"]
+            e = reg.get("akun_0060", {})
+            gt_sel = load_gt(roles=("select",))
+            if "mask_poly" in e and "akun_0060" in gt_sel:
+                im = Image.open(gt_sel["akun_0060"][0]).convert("RGB")
+                arr = np.asarray(im, np.float32) / 127.5 - 1.0
+                small = np.asarray(jax.image.resize(
+                    jnp.asarray(arr[None]), (1, S, S, 3), "linear"))[0]
+                probe_mask = (small, rasterize_poly(e["mask_poly"], S) > 0.5)
+        except Exception as exc:  # pragma: no cover
+            print(f"mask probe unavailable: {exc}", flush=True)
+
     # For --matting gca the shipped artifact is the MAT refiner, so
     # checkpoint selection scores held-out alpha L1 (fixed synthetic batch),
     # not the segmenter's real-probe box IoU — an early seg-probe peak would
@@ -314,7 +403,15 @@ def main():
                             np.asarray(g, np.float32)) if len(cb) else 0.0)
                 q = iou + 0.25 * q
             qs.append(q)
-        return float(np.mean(qs))
+        score = float(np.mean(qs))
+        if probe_mask is not None:
+            small, gtm = probe_mask
+            prob = np.asarray(jax.nn.sigmoid(
+                seg_apply(params["seg"], small[None])))[0, ..., 0]
+            m = prob > 0.5
+            miou = float((m & gtm).sum() / max((m | gtm).sum(), 1))
+            score = score + miou
+        return score
 
     key = jax.random.PRNGKey(42)
     t0 = time.perf_counter()
@@ -334,8 +431,9 @@ def main():
             print(json.dumps({"step": step, "real_probe": round(q, 4),
                               "best_step": best_step}), flush=True)
 
-    # held-out eval
-    img, alpha, hard = jax.jit(make_batch)(jax.random.PRNGKey(777))
+    # held-out eval (synthetic-only rows for cross-run comparability)
+    _mb_holdout = make_batch_synth if pseudo is not None else make_batch
+    img, alpha, hard = jax.jit(_mb_holdout)(jax.random.PRNGKey(777))
     _, aux = loss_fn(params, img, alpha, hard)
     result = {"metric": "person_seg_synthetic_holdout",
               "matting": args.matting,
