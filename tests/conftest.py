@@ -41,6 +41,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 SLOW_TESTS = {
+    "test_tools/test_pose3d_multi.py::test_keypoint_cam_init_recovers_camera",
+    "test_tools/test_pose3d_multi.py::test_multi_init_rescues_bad_spin_init",
+    "test_tools/test_pose3d_multi.py::test_multi_init_keeps_good_init",
     "test_models/test_flow_composition.py::test_identity_flow_roundtrip",
     "test_models/test_flow_composition.py::test_morph_fill_covers_wide_ring_512",
     "test_models/test_flow_composition.py::test_render_smpl_info_shapes",
