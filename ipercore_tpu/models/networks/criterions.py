@@ -160,10 +160,11 @@ def init_face_params(rng, face_loss_path: str = "sphere20a"):
     net, hw = build_face_net(face_loss_path)
     params = jax.jit(net.init)(rng, jnp.zeros((1, hw[0], hw[1], 3)))
     path = None
+    name = os.path.basename(str(face_loss_path)).lower()
     if face_loss_path and os.path.exists(face_loss_path) and \
             face_loss_path.endswith(".npz"):
         path = face_loss_path
-    elif "senet" not in os.path.basename(str(face_loss_path)).lower() and \
+    elif name not in ("random",) and "senet" not in name and \
             os.path.exists(DEFAULT_FACELOSS_WEIGHTS):
         path = DEFAULT_FACELOSS_WEIGHTS
     if path:

@@ -164,6 +164,10 @@ DEFAULT_CFG = AttrDict(
         lambda_rec=10.0, lambda_tsf=10.0, lambda_face=5.0,
         lambda_mask=5.0, lambda_mask_smooth=1.0, lambda_D_prob=1.0,
         lr_G=1e-4, lr_D=1e-4, use_face=True,
+        # "sphere20a" auto-loads assets/faceloss.npz when shipped;
+        # "random" forces random-projection features (A/B arm);
+        # a path to an .npz loads that checkpoint (`faceloss.py:291-299`)
+        face_loss_path="sphere20a",
         niters_or_epochs_no_decay=100, niters_or_epochs_decay=0,
     ),
     Generator=AttrDict(

@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--eval_size", type=int, default=256,
                     help="resolution metrics are computed at")
     ap.add_argument("--max_frames", type=int, default=400)
+    ap.add_argument("--face", choices=("trained", "random", "off"),
+                    default="trained",
+                    help="face-loss arm for the A/B (VERDICT r4 item 4): "
+                         "trained = auto-loaded assets/faceloss.npz; "
+                         "random = random-projection features (the r4 "
+                         "status quo); off = use_face false")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -75,14 +81,19 @@ def main(argv=None):
 
             shutil.copy(src, dst)
 
+    face_overrides = {
+        "trained": [],
+        "random": ["--Train.face_loss_path", "random"],
+        "off": ["--Train.use_face", "false"],
+    }[args.face]
     opt = parse_opt([
         "--output_dir", args.out_dir,
-        "--model_id", "akun_self",
+        "--model_id", f"akun_self_{args.face}",
         "--image_size", str(args.image_size),
         "--num_source", str(args.num_source),
         "--src_path", f"path?={src_dir},name?=akun_self",
         "--ref_path", f"path?={AKUN_MP4},name?=akun_1,pose_fc?=300",
-    ])
+    ] + face_overrides)
     run_imitator(opt)
 
     syn_dir = os.path.join(args.out_dir, "primitives", "akun_self-akun_1",
@@ -104,10 +115,11 @@ def main(argv=None):
         "protocol": "iPER self-imitation (docs/evaluate.md:4-11)",
         "clip": "akun_1.mp4", "n_frames": n,
         "image_size": args.image_size, "eval_size": args.eval_size,
-        "num_source": args.num_source,
+        "num_source": args.num_source, "face_arm": args.face,
         "wall_s": round(time.perf_counter() - t0, 1),
     })
-    with open(os.path.join(args.out_dir, "self_imitation.json"), "w") as f:
+    with open(os.path.join(args.out_dir,
+                           f"self_imitation_{args.face}.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
     return 0

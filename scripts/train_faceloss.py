@@ -80,12 +80,32 @@ def main():
     FACE_J = jnp.asarray([13, 14, 15, 16, 17])
 
     def render_view(key_tex, key_view):
-        """One view of K identities: shared texture key, per-view pose/aug."""
-        kp, kc, ka, kb = jax.random.split(key_view, 4)
-        # frontal-ish: natural stance + small yaw so the face stays visible
+        """One HEAD CLOSE-UP view of K identities: shared texture key,
+        per-view pose/camera/augmentation.
+
+        A full-body render at training scale leaves the head 3-5 px tall
+        (measured; a crop of that is pure noise, and the first faceloss run
+        sat at exactly chance). Instead the weak-perspective camera is
+        ZOOMED onto the head: s set so the nose-neck distance spans ~0.35
+        NDC, translation centers the face (+ jitter)."""
+        kp, kc, ka, kb, kj = jax.random.split(key_view, 5)
         theta = sd.make_theta(kp, K, pose_std=0.15, yaw=False, natural_frac=1.0)
-        yaw = jax.random.uniform(kc, (K,), minval=-0.5, maxval=0.5)
+        yaw = jax.random.uniform(kc, (K,), minval=-0.4, maxval=0.4)
         theta = theta.at[:, 4].add(yaw)
+        # identity body shape (shared across views via key_tex)
+        beta = 1.2 * jax.random.normal(jax.random.fold_in(key_tex, 3), (K, 10))
+        theta = theta.at[:, 75:85].set(beta)
+        det0 = smpl_mod.get_details(model, theta)
+        # reconstruct model-plane xy by undoing make_theta's camera
+        s0 = theta[:, 0:1]
+        t0 = theta[:, 1:3]
+        raw = det0["j2d"] / s0[..., None] - t0[:, None, :]
+        head_c = raw[:, FACE_J].mean(axis=1)  # (K, 2) model-plane
+        head_d = jnp.linalg.norm(raw[:, 13] - raw[:, 12], axis=-1)  # nose-neck
+        s = 0.15 / jnp.maximum(head_d, 1e-3)  # head+shoulders framing
+        jit = 0.05 * jax.random.normal(kj, (K, 2))
+        t = -head_c + jit / s[:, None]
+        theta = theta.at[:, 0].set(s).at[:, 1:3].set(t)
         details = smpl_mod.get_details(model, theta)
         fim = sd.render_fim(model, theta, S * 2, f2uvs=assets.f2uvs,
                             details=details)
@@ -97,30 +117,48 @@ def main():
         use_g = jax.random.bernoulli(
             jax.random.fold_in(key_tex, 8), 0.5, (K, 1, 1, 1)).astype(tex.dtype)
         tex = tex * (1 - use_g) + garm * use_g
+
+        # PER-IDENTITY FACIAL PATTERN: the SMPL texture has no facial
+        # structure (flat skin), so identity would otherwise collapse to
+        # color statistics. Stamp a blob constellation defined in
+        # FACE-LOCAL coordinates (offsets in head-size units around the
+        # projected face centroid) — it moves with the face across views,
+        # giving the embedding true facial-appearance signal.
+        M = 8
+        off = jax.random.uniform(jax.random.fold_in(key_tex, 9),
+                                 (K, M, 2), minval=-1.0, maxval=1.0)
+        pcol = jax.random.uniform(jax.random.fold_in(key_tex, 10),
+                                  (K, M, 3), minval=-1.0, maxval=1.0)
+        prad = jax.random.uniform(jax.random.fold_in(key_tex, 11),
+                                  (K, M), minval=0.06, maxval=0.22)
+        # face centroid / head size in PIXELS under the new camera
+        j2d_new = details["j2d"]
+        fc = (j2d_new[:, FACE_J].mean(axis=1) + 1.0) * 0.5 * S  # (K, 2)
+        hp = jnp.linalg.norm((j2d_new[:, 13] - j2d_new[:, 12]), axis=-1) \
+            * 0.5 * S  # head px
+        yy, xx = jnp.meshgrid(jnp.arange(S, dtype=jnp.float32),
+                              jnp.arange(S, dtype=jnp.float32), indexing="ij")
+        for m in range(M):
+            cx = fc[:, 0] + off[:, m, 0] * hp * 1.4
+            cy = fc[:, 1] + off[:, m, 1] * hp * 1.4
+            r2 = ((xx[None] - cx[:, None, None]) ** 2
+                  + (yy[None] - cy[:, None, None]) ** 2)
+            blob = jnp.exp(-r2 / jnp.maximum(
+                (prad[:, m, None, None] * hp[:, None, None]) ** 2, 1.0))[..., None]
+            blob = blob * alpha  # only on the person
+            tex = tex * (1 - 0.8 * blob) + pcol[:, m, None, None, :] * 0.8 * blob
+
         bg = sd.synth_background_mix(ka, K, S)
         img = tex * alpha + bg * (1 - alpha)
         img = sd.photo_augment(kb, img)
-        return img, details["j2d"]
+        return img
 
-    def head_crops(img, j2d):
-        """(K, S, S, 3) + cocoplus j2d -> (K, 112, 96, 3) face crops."""
-        pxy = (j2d + 1.0) * 0.5 * S - 0.5  # (K, 19, 2) pixel coords
-        center = pxy[:, FACE_J].mean(axis=1)  # (K, 2)
-        head = jnp.linalg.norm(pxy[:, 13] - pxy[:, 12], axis=-1)  # nose-neck
-        side = jnp.clip(head * 2.4, 8.0, S * 0.9)
-        ys = (jnp.arange(HW[0]) / HW[0] - 0.5)
-        xs = (jnp.arange(HW[1]) / HW[1] - 0.5) * (HW[1] / HW[0])
-        def one(im, c, sd_):
-            yy = c[1] + ys * sd_
-            xx = c[0] + xs * sd_
-            gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
-            import jax.scipy.ndimage as ndi
-
-            return jnp.stack([
-                ndi.map_coordinates(im[..., ch], [gy, gx], order=1,
-                                    mode="nearest")
-                for ch in range(3)], axis=-1)
-        return jax.vmap(one)(img, center, side)
+    def head_crops(img):
+        """(K, S, S, 3) head close-ups -> (K, 112, 96, 3) net input."""
+        crop_w = int(S * 96 / 112)
+        off = (S - crop_w) // 2
+        return jax.image.resize(img[:, :, off:off + crop_w, :],
+                                (img.shape[0], HW[0], HW[1], 3), "linear")
 
     net = SphereFaceFeatures()
     params = jax.jit(net.init)(jax.random.PRNGKey(0),
@@ -134,9 +172,8 @@ def main():
 
     def make_batch(key):
         kt, k1, k2 = jax.random.split(key, 3)
-        a_img, a_j = render_view(kt, k1)
-        b_img, b_j = render_view(kt, k2)
-        return head_crops(a_img, a_j), head_crops(b_img, b_j)
+        return (head_crops(render_view(kt, k1)),
+                head_crops(render_view(kt, k2)))
 
     def loss_fn(params, a, b):
         za, zb = embed(params, a), embed(params, b)
