@@ -286,7 +286,17 @@ class HumanMattor:
 
         trimap = generate_trimap(mask)
         if self.trained:
-            alpha = self._mat(self.mat_params, jnp.concatenate([x, trimap], axis=-1))
+            # The refiner is applied in resolution-bounded sub-batches: the
+            # GCA contextual-attention branch holds an (HW/s²)² affinity per
+            # frame, so 16 frames at 512² needs ~17.6G HBM (> the 15.75G
+            # chip). Keeping frames×area bounded (≤8 frame-equivalents at
+            # 256²) keeps the compiled program small at any resolution.
+            inp = jnp.concatenate([x, trimap], axis=-1)
+            s = max(x.shape[1], x.shape[2])
+            mat_bs = max(1, int(8 * (256 / s) ** 2)) if s > 256 else 16
+            alpha = jnp.concatenate(
+                [self._mat(self.mat_params, inp[i:i + mat_bs])
+                 for i in range(0, inp.shape[0], mat_bs)])
             # trimap-certain regions are authoritative (GCA convention)
             alpha = jnp.where(trimap == 1.0, 1.0, jnp.where(trimap == 0.0, 0.0, alpha))
         else:

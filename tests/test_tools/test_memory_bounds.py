@@ -41,3 +41,30 @@ def test_silhouette_chunk_memory_bound():
     # the unchunked clip was a 58 GB allocation; one chunk must stay far
     # under HBM (16 GB) with generous headroom for other live buffers
     assert temp < 4 * 1024 ** 3, f"temp allocation {temp / 2**30:.2f} GiB"
+
+
+def test_gca_refiner_chunk_memory_bound():
+    """Round-5 OOM incident: the first production run with trained GCA
+    matting weights (`assets/matting_gca.npz` -> `GCAMattingRefiner`
+    preferred) compiled the refiner for the mattor's full 16-frame chunk at
+    512² and needed 17.56G of a 15.75G chip — the contextual-attention
+    affinity is quadratic in patch count. `HumanMattor.run` now bounds
+    frames×area per refiner apply (mat_bs = 16·(256/s)²); this compiles the
+    production 512² sub-batch (mat_bs = 8·(256/s)² = 2) and bounds its
+    temp allocation."""
+    import pytest
+
+    from ipercore_tpu.tools.mattors import GCAMattingRefiner
+
+    net = GCAMattingRefiner()
+    s, mat_bs = 512, 2  # run()'s sub-batch at image_size=512
+    x = jnp.zeros((mat_bs, s, s, 4), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
+    compiled = jax.jit(net.apply).lower(params, x).compile()
+    try:
+        temp = compiled.memory_analysis().temp_size_in_bytes
+    except Exception:
+        pytest.skip("backend exposes no memory analysis")
+    # 16 frames needed 17.56G; 4 must stay well under HBM with headroom
+    # for params + the seg UNet's buffers living alongside
+    assert temp < 6 * 1024 ** 3, f"temp allocation {temp / 2**30:.2f} GiB"
