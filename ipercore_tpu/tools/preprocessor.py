@@ -72,6 +72,34 @@ def process_crop_img(img: np.ndarray, box: np.ndarray, out_size: int) -> tuple[n
     return out, geom
 
 
+def background_visibility(masks: np.ndarray, sil: np.ndarray,
+                          image_size: int) -> np.ndarray:
+    """Per-frame background-visibility weights for bg accumulation/inpaint.
+
+    masks: (N, S, S, 1) float, background=1 (the stage-1.4 convention);
+    sil: (N, S, S, 1) float, person=1 (rendered SMPL silhouette).
+    Returns (N, S, S, 1) float in {0, 1}, 1 = trustworthy background pixel.
+
+    The person region to EXCLUDE must over-cover: any person pixel the
+    matting alpha misses is baked into the background image and ghosts
+    through every composite (measured in the r5 self-imitation run — a
+    0.73-coverage alpha left the subject visible in background.png). Union
+    the two independent person-evidence sources, then dilate by ~S/32 px
+    for halos/soft hair — the reference's dilated-mask inpaint convention
+    (`base_preprocessor.py` bg stage).
+    """
+    import jax.numpy as jnp
+
+    from ipercore_tpu.ops.morphology import dilate as _dilate
+
+    person = np.maximum(1.0 - masks, sil)
+    ks = max(9, (image_size // 32) | 1)
+    person = np.concatenate(
+        [np.asarray(_dilate(jnp.asarray(person[i:i + 16]), ks))
+         for i in range(0, len(person), 16)])
+    return 1.0 - person
+
+
 class Preprocessor:
     """The stage pipeline — `Preprocessor` (`preprocessors.py:21`)."""
 
@@ -300,8 +328,9 @@ class Preprocessor:
         if not info.has_run("inpaintor"):
             if is_src:
                 masks = info.get_array("masks")  # (N, S, S, 1) bg=1
+                vis = background_visibility(
+                    masks, self._smpl_silhouette(theta), self.image_size)
                 # mean background over frames where pixels are visible
-                vis = masks
                 acc = (imgs * vis).sum(0) / np.maximum(vis.sum(0), 1e-5)
                 hole = (vis.sum(0) < 0.5).astype(np.float32)
                 bg = self.inpaintor.run_inpainting(acc, hole)
