@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--eval_size", type=int, default=256,
                     help="resolution metrics are computed at")
     ap.add_argument("--max_frames", type=int, default=400)
+    ap.add_argument("--iters", type=int, default=0,
+                    help="override Train.niters_or_epochs_no_decay for the "
+                         "personalization-length A/B (0 = config default "
+                         "100, the reference's deploy.toml:102 parity)")
     ap.add_argument("--face", choices=("trained", "random", "off"),
                     default="trained",
                     help="face-loss arm for the A/B (VERDICT r4 item 4): "
@@ -86,14 +90,18 @@ def main(argv=None):
         "random": ["--Train.face_loss_path", "random"],
         "off": ["--Train.use_face", "false"],
     }[args.face]
+    iter_overrides = (
+        ["--Train.niters_or_epochs_no_decay", str(args.iters)]
+        if args.iters else [])
+    arm = args.face + (f"_it{args.iters}" if args.iters else "")
     opt = parse_opt([
         "--output_dir", args.out_dir,
-        "--model_id", f"akun_self_{args.face}",
+        "--model_id", f"akun_self_{arm}",
         "--image_size", str(args.image_size),
         "--num_source", str(args.num_source),
         "--src_path", f"path?={src_dir},name?=akun_self",
         "--ref_path", f"path?={AKUN_MP4},name?=akun_1,pose_fc?=300",
-    ] + face_overrides)
+    ] + face_overrides + iter_overrides)
     run_imitator(opt)
 
     syn_dir = os.path.join(args.out_dir, "primitives", "akun_self-akun_1",
@@ -116,10 +124,11 @@ def main(argv=None):
         "clip": "akun_1.mp4", "n_frames": n,
         "image_size": args.image_size, "eval_size": args.eval_size,
         "num_source": args.num_source, "face_arm": args.face,
+        "personalize_iters": args.iters or 100,
         "wall_s": round(time.perf_counter() - t0, 1),
     })
     with open(os.path.join(args.out_dir,
-                           f"self_imitation_{args.face}.json"), "w") as f:
+                           f"self_imitation_{arm}.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
     return 0
