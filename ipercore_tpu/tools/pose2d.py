@@ -326,6 +326,81 @@ class OpenPoseRunner:
         valid = out_scores > 0.1
         return out_kps.astype(np.float32), out_scores, valid
 
+    def run_tracked_robust(self, images: np.ndarray, smooth: bool = True):
+        """`run_tracked` + degenerate-decode recovery via jittered re-crops.
+
+        When PAF grouping finds nobody, `run_tracked` silently falls back
+        to the per-joint heatmap argmax; on a barely-out-of-domain photo the
+        heatmaps are near-flat and every joint lands grid-quantized on the
+        crop midline with healthy-looking scores — measured on the bundled
+        real still (r5): all 25 joints at |x| <= 0.03 while a 10%-different
+        framing of the SAME photo decodes fine. This wrapper detects that
+        degeneracy (no lateral structure across confident joints) and
+        retries the frame over scale/shift jittered crops, keeping the
+        first non-degenerate decode (best mean confidence among them).
+        Same contract as `run_tracked`.
+        """
+        kps, scores, valid = self.run_tracked(images, smooth=smooth)
+        for i in range(len(images)):
+            if not _degenerate_decode(kps[i], scores[i] * valid[i]):
+                continue
+            best = None
+            for s, dx, dy in ((0.8, 0.0, 0.0), (1.25, 0.0, 0.0),
+                              (0.9, 0.1, 0.0), (0.9, -0.1, 0.0),
+                              (1.1, 0.0, 0.1), (1.1, 0.0, -0.1)):
+                crop = _affine_window(images[i], s, dx, dy)
+                k1, s1, v1 = self.run_tracked(crop[None], smooth=False)
+                k1 = k1[0] * s + np.asarray([dx, dy], np.float32)
+                c1 = (s1 * v1)[0]
+                if _degenerate_decode(k1, c1):
+                    continue
+                m = float(c1.mean())
+                if best is None or m > best[0]:
+                    best = (m, k1, s1[0], v1[0])
+            if best is not None:
+                kps[i], scores[i], valid[i] = best[1], best[2], best[3]
+        return kps, scores, valid
+
+
+def _degenerate_decode(kps: np.ndarray, conf: np.ndarray,
+                       conf_thr: float = 0.3) -> bool:
+    """True when a Body-25 decode has no lateral structure — the signature
+    of the flat-heatmap argmax fallback (all joints on the crop midline).
+    A real single-person decode spreads confident joints over >~7% of NDC
+    in x (shoulders alone span ~0.15 at production framings)."""
+    sel = conf > conf_thr
+    if sel.sum() < 4:
+        return True
+    x = kps[sel, 0]
+    y = kps[sel, 1]
+    return bool(x.std() < 0.035 or (y.max() - y.min()) < 0.15)
+
+
+def _affine_window(image: np.ndarray, s: float, dx: float, dy: float) -> np.ndarray:
+    """Resample a square window of NDC side 2*s centered at (dx, dy) back to
+    the input resolution (grey padding outside) — the jitter crops of
+    `run_tracked_robust`. A point at window NDC u maps to image NDC
+    u*s + (dx, dy)."""
+    H, W = image.shape[:2]
+    # window corners in pixels
+    x0 = (dx - s + 1.0) * 0.5 * W
+    y0 = (dy - s + 1.0) * 0.5 * H
+    side_x, side_y = s * W, s * H
+    xi, yi = int(round(max(x0, 0))), int(round(max(y0, 0)))
+    xj = int(round(min(x0 + side_x, W)))
+    yj = int(round(min(y0 + side_y, H)))
+    oh, ow = int(round(side_y)), int(round(side_x))
+    out = np.zeros((oh, ow) + image.shape[2:], image.dtype)
+    dy0, dx0 = yi - int(round(y0)), xi - int(round(x0))
+    h = max(0, min(yj - yi, oh - dy0))
+    w = max(0, min(xj - xi, ow - dx0))
+    out[dy0:dy0 + h, dx0:dx0 + w] = image[yi:yi + h, xi:xi + w]
+    import jax
+    import jax.numpy as jnp
+
+    return np.asarray(jax.image.resize(jnp.asarray(out), (H, W) + image.shape[2:],
+                                       "linear"))
+
 
 # Body-25 -> cocoplus-19 joint mapping (role of the keypoint formatters,
 # `smplify/utils/geometry/keypoints.py:116-406`); -1 = missing.

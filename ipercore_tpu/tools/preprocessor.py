@@ -247,8 +247,11 @@ class Preprocessor:
                     pose_in = spin_in if p2s == 224 else np.asarray(
                         jax.image.resize(jnp.asarray(imgs),
                                          (len(imgs), p2s, p2s, 3), "linear"))
-                    # NMS + PAF grouping + 1-euro filter (multi-person-safe)
-                    kps, scores, valid = self.pose2d.run_tracked(pose_in)
+                    # NMS + PAF grouping + 1-euro filter (multi-person-safe),
+                    # with degenerate-decode recovery over jittered crops
+                    # (the flat-heatmap midline failure measured on the
+                    # bundled real still, pose2d.run_tracked_robust)
+                    kps, scores, valid = self.pose2d.run_tracked_robust(pose_in)
                     from ipercore_tpu.tools.pose2d import body25_to_cocoplus
 
                     if len(kps) > 5:

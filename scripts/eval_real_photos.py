@@ -194,7 +194,8 @@ def eval_pose(roles=("select", "val"), crop_size: int = None):
             c224 = np.asarray(jax.image.resize(
                 jax.numpy.asarray(crop[None]),
                 (1, p2d_size, p2d_size, 3), "linear"))
-            kps, scores, vmask2 = pose2d.run_tracked(c224, smooth=False)
+            # the production stage-1.3 path (incl. degenerate-decode recovery)
+            kps, scores, vmask2 = pose2d.run_tracked_robust(c224, smooth=False)
             kps224, scores224 = kps, scores * vmask2
             px = to_px(kps[0][ids])
             err = np.linalg.norm(px - gt_px, axis=-1)

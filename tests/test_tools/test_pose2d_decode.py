@@ -150,3 +150,45 @@ def test_flip_tta_tables_match_target_builder():
     paf_t = np.asarray(paf)[:, :, ::-1, :][..., np.asarray(perm)] * np.asarray(sign)
     np.testing.assert_allclose(np.asarray(hm_m), hm_t, atol=1e-5)
     np.testing.assert_allclose(np.asarray(paf_m), paf_t, atol=1e-5)
+
+
+def test_degenerate_decode_detector():
+    """The flat-heatmap argmax failure: all joints grid-quantized on the
+    crop midline with healthy scores (measured on the bundled real still,
+    r5). `_degenerate_decode` must flag it; a real spread must pass."""
+    import numpy as np
+
+    from ipercore_tpu.tools.pose2d import _degenerate_decode
+
+    conf = np.full(25, 0.6, np.float32)
+    flat = np.zeros((25, 2), np.float32)
+    flat[:, 0] = np.random.RandomState(0).choice([-0.025, 0.025], 25)
+    flat[:, 1] = np.linspace(-0.6, 0.6, 25)
+    assert _degenerate_decode(flat, conf)
+    real = np.zeros((25, 2), np.float32)
+    real[:, 0] = np.random.RandomState(1).uniform(-0.2, 0.2, 25)
+    real[:, 1] = np.linspace(-0.6, 0.6, 25)
+    assert not _degenerate_decode(real, conf)
+    # too few confident joints is degenerate regardless of layout
+    assert _degenerate_decode(real, np.full(25, 0.05, np.float32))
+
+
+def test_affine_window_mapping():
+    """A point at window NDC u maps to image NDC u*s + (dx, dy): place a
+    bright pixel, re-crop, and verify it lands where the inverse map says."""
+    import numpy as np
+
+    from ipercore_tpu.tools.pose2d import _affine_window
+
+    H = W = 64
+    img = np.zeros((H, W, 3), np.float32)
+    # bright pixel at image NDC (0.25, -0.125)
+    px, py = int((0.25 + 1) / 2 * W), int((-0.125 + 1) / 2 * H)
+    img[py, px] = 1.0
+    s, dx, dy = 0.8, 0.1, 0.0
+    out = _affine_window(img, s, dx, dy)
+    yy, xx = np.unravel_index(out[..., 0].argmax(), out[..., 0].shape)
+    # expected window NDC: u = (x_img - dx) / s
+    ex = ((0.25 - dx) / s + 1) / 2 * W
+    ey = ((-0.125 - dy) / s + 1) / 2 * H
+    assert abs(xx - ex) <= 2 and abs(yy - ey) <= 2, (xx, yy, ex, ey)
