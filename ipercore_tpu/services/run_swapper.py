@@ -67,14 +67,13 @@ def swap(opt) -> list[str]:
             p = os.path.join(out_dir, f"pred_{i:08d}.png")
             vid.save_image(p, f)
             paths.append(p)
-        if vid.has_ffmpeg():
-            try:
-                mp4 = os.path.join(out_dir, "swap.mp4")
-                vid.make_video(paths, mp4, fps=ref_meta.fps, audio_path=ref_meta.audio)
-                outputs.append(mp4)
-            except Exception:
-                outputs.append(out_dir)
-        else:
+        # make_video has its own cv2 fallback on ffmpeg-less hosts — do not
+        # gate on has_ffmpeg() (it skipped encoding entirely on this box)
+        try:
+            mp4 = os.path.join(out_dir, "swap.mp4")
+            vid.make_video(paths, mp4, fps=ref_meta.fps, audio_path=ref_meta.audio)
+            outputs.append(mp4)
+        except Exception:
             outputs.append(out_dir)
     return outputs
 

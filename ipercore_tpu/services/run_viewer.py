@@ -43,14 +43,12 @@ def novel_view(opt) -> list[str]:
             p = os.path.join(out_dir, f"pred_{i:08d}.png")
             vid.save_image(p, f)
             paths.append(p)
-        if vid.has_ffmpeg():
-            try:
-                mp4 = os.path.join(out_dir, "novel_view.mp4")
-                vid.make_video(paths, mp4, fps=25)
-                outputs.append(mp4)
-            except Exception:
-                outputs.append(out_dir)
-        else:
+        # make_video falls back to cv2 itself — no has_ffmpeg() gate
+        try:
+            mp4 = os.path.join(out_dir, "novel_view.mp4")
+            vid.make_video(paths, mp4, fps=25)
+            outputs.append(mp4)
+        except Exception:
             outputs.append(out_dir)
     return outputs
 

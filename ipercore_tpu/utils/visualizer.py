@@ -62,12 +62,11 @@ def write_visual_video(imgs: np.ndarray, theta: np.ndarray, out_path: str,
         p = os.path.join(out_dir, f"frame_{i:08d}.png")
         vid.save_image(p, f)
         paths.append(p)
-    if vid.has_ffmpeg():
-        try:
-            return vid.make_video(paths, out_path, fps=fps)
-        except Exception:
-            return out_dir
-    return out_dir
+    # make_video falls back to cv2 itself — no has_ffmpeg() gate
+    try:
+        return vid.make_video(paths, out_path, fps=fps)
+    except Exception:
+        return out_dir
 
 
 def save_train_panel(path: str, rows: dict) -> str:
