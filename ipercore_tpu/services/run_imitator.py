@@ -139,6 +139,18 @@ def load_source_cache(opt, comp, gen, params, src_meta, proc_dir: Optional[str] 
     bg_img = None
     if src_meta.bg_path and os.path.exists(src_meta.bg_path):
         bg_img = jnp.asarray(vid.load_image(src_meta.bg_path, size=S))[None]
+    else:
+        # Prefer the preprocessed background (stage 1.6: real pixels where
+        # visible + two-stage inpaint under the person) over the BGNet
+        # forward: personalization explicitly supervises BGNet TOWARD this
+        # image (`personalization.make_personalized_batches` "bg" target),
+        # so compositing with the target itself is strictly closer to the
+        # supervision and stays photo-crisp where the scene was observed.
+        # BGNet remains the fallback (e.g. train-time aug-bg, missing file)
+        # and the only path the swapper's non-primary sources ever hit.
+        proc_bg = os.path.join(proc_dir, "background.png")
+        if os.path.exists(proc_bg):
+            bg_img = jnp.asarray(vid.load_image(proc_bg, size=S))[None]
 
     V = comp.model.v_template.shape[0]
     offsets = src["offsets"]
