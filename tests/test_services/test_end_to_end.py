@@ -210,6 +210,11 @@ def test_swapper_end_to_end(opt, pipeline):
     outputs = swap(opt2)
     assert outputs
     out = outputs[0]
+    # encoding must not be skipped on ffmpeg-less hosts (make_video has a
+    # cv2 fallback internally — regression for the r5 has_ffmpeg() gate bug
+    # that returned a bare frame dir instead of swap.mp4)
+    if vid.has_ffmpeg() or vid._cv2() is not None:
+        assert out.endswith("swap.mp4") and os.path.exists(out), out
     dd = out if os.path.isdir(out) else os.path.dirname(out)
     assert "person_a+person_c" in dd and dd.endswith("synthesis") or True
     preds = sorted(f for f in os.listdir(dd) if f.startswith("pred_"))
