@@ -241,3 +241,24 @@ def test_swapper_end_to_end(opt, pipeline):
     assert (f2_c[:, ~head] == rz.FLOW_SENTINEL).all()
     assert (f2_a[:, head] == rz.FLOW_SENTINEL).all()
     assert not (f2_c[:, head] == rz.FLOW_SENTINEL).all()
+
+
+def test_source_cache_prefers_processed_background(opt, pipeline):
+    """`load_source_cache` must composite with the stage-1.6 background.png
+    (the image personalization supervises BGNet toward) rather than the
+    BGNet forward when the file exists — r5 fix for the washed/blended
+    backgrounds diagnosed on the real swap run."""
+    from ipercore_tpu.services.meta_info import MetaProcess, parse_src_input
+    from ipercore_tpu.services.run_imitator import build_runtime, load_source_cache
+
+    model, comp, gen, params = build_runtime(opt)
+    meta = parse_src_input(opt.src_path)[0]
+    cache, *_ = load_source_cache(opt, comp, gen, params, meta)
+    bg_path = os.path.join(
+        MetaProcess(meta.name, opt.output_dir).processed_dir, "background.png")
+    assert os.path.exists(bg_path)
+    want = vid.load_image(bg_path, size=S)
+    got = np.asarray(cache.bg_img)[0]
+    # loaded-png round trip: identical up to 8-bit quantization
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 2.5 / 127.5
