@@ -192,3 +192,58 @@ def test_affine_window_mapping():
     ex = ((0.25 - dx) / s + 1) / 2 * W
     ey = ((-0.125 - dy) / s + 1) / 2 * H
     assert abs(xx - ex) <= 2 and abs(yy - ey) <= 2, (xx, yy, ex, ey)
+
+
+def test_run_tracked_robust_retry_and_mapping():
+    """The retry/selection logic, isolated from the net: a degenerate
+    primary decode triggers jittered re-crops; the winning jitter decode's
+    keypoints must map back through the window affine (x_img = x_crop*s+d),
+    and a healthy primary decode must short-circuit (no retries)."""
+    import types
+
+    import numpy as np
+
+    from ipercore_tpu.tools.pose2d import OpenPoseRunner
+
+    rng = np.random.RandomState(0)
+    good = np.zeros((25, 2), np.float32)
+    good[:, 0] = rng.uniform(-0.2, 0.2, 25)
+    good[:, 1] = np.linspace(-0.6, 0.6, 25)
+    flat = np.zeros((25, 2), np.float32)
+    flat[:, 1] = np.linspace(-0.6, 0.6, 25)
+    conf = np.full((25,), 0.6, np.float32)
+
+    r = object.__new__(OpenPoseRunner)  # skip heavy __init__
+    calls = []
+
+    def fake_run_tracked(self, images, smooth=True):
+        calls.append(images.shape)
+        n = len(images)
+        # first call (the full batch) is degenerate; every retry is good
+        k = flat if len(calls) == 1 else good
+        return (np.repeat(k[None], n, 0).copy(),
+                np.repeat(conf[None], n, 0).copy(),
+                np.ones((n, 25), bool))
+
+    r.run_tracked = types.MethodType(fake_run_tracked, r)
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    kps, scores, valid = OpenPoseRunner.run_tracked_robust(r, img)
+    assert len(calls) > 1  # retried
+    # first jitter (s=0.8, d=0) wins ties by confidence -> mapping is k*0.8
+    np.testing.assert_allclose(kps[0], good * 0.8, atol=1e-6)
+    assert valid[0].all()
+
+    # healthy primary -> no retries
+    calls.clear()
+
+    def fake_good(self, images, smooth=True):
+        calls.append(images.shape)
+        n = len(images)
+        return (np.repeat(good[None], n, 0).copy(),
+                np.repeat(conf[None], n, 0).copy(),
+                np.ones((n, 25), bool))
+
+    r.run_tracked = types.MethodType(fake_good, r)
+    kps2, _, _ = OpenPoseRunner.run_tracked_robust(r, img)
+    assert len(calls) == 1
+    np.testing.assert_allclose(kps2[0], good)
